@@ -1,0 +1,172 @@
+"""Full-order model (HDM) time steppers.
+
+TPU-native replacements for the reference's
+inviscid_burgers_implicit2D (hypernet2D.py:72-131, Newton + spsolve per
+step) and inviscid_burgers_explicit2D (hypernet2D.py:30-70). The time
+loop is a `lax.scan`; the Newton loop is a `lax.while_loop` with the
+reference's stopping rule (relative residual < 1e-12, max 100 its); the
+linear solve is the exact wavefront forward substitution
+(ops/wavefront.py) instead of sparse LU.
+
+Everything is jit-able and vmap-able over (mu1, mu2) — a whole parameter
+sweep runs as one compiled program (parallel/sweep.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.ops.stencil import (
+    burgers_residual_flat,
+    ddx_upwind,
+    ddy_upwind,
+    inflow_bc_term,
+    source_term,
+)
+from finitedifference_tpu.ops.wavefront import (
+    solve_jacobian_flat,
+    solve_jacobian_sweeps,
+)
+
+
+class NewtonResult(NamedTuple):
+    w: jnp.ndarray          # solution state (2n,)
+    num_its: jnp.ndarray    # Newton iterations taken
+    resnorm: jnp.ndarray    # final residual norm
+    init_norm: jnp.ndarray  # residual norm at the initial guess
+
+
+def newton_step(wp, mu1, mu2, dt, grid: Grid2D, *,
+                max_its: int = 100, relnorm_cutoff: float | None = None,
+                linear_solver: str = "wavefront",
+                num_sweeps: int | None = None) -> NewtonResult:
+    """One implicit CN step: solve r(w; wp) = 0 by Newton-Raphson.
+
+    Stopping logic mirrors the reference newton_raphson
+    (hypernet2D.py:1811-1857): check ||r||/||r(x0)|| < cutoff *before*
+    each update, break without updating once converged. The default
+    cutoff is dtype-aware: 1e-12 in f64 (the reference value), 1e-6 in
+    f32 (1e-12 is unreachable there and would burn max_its every step).
+    """
+    if relnorm_cutoff is None:
+        relnorm_cutoff = 1e-12 if wp.dtype == jnp.float64 else 1e-6
+    src = source_term(grid, mu2, dt, dtype=wp.dtype)
+    lbc = inflow_bc_term(grid, mu1, dt, dtype=wp.dtype)
+
+    def res(w):
+        return burgers_residual_flat(w, wp, mu1, mu2, dt, grid, src, lbc)
+
+    def solve(w, f):
+        if linear_solver == "wavefront":
+            return solve_jacobian_flat(w, f, dt, grid)
+        elif linear_solver == "sweeps":
+            u, v = grid.split_fields(w)
+            fu, fv = grid.split_fields(f)
+            du, dv = solve_jacobian_sweeps(u, v, fu, fv, dt, grid,
+                                           num_sweeps=num_sweeps)
+            return grid.merge_fields(du, dv)
+        raise ValueError(f"unknown linear_solver: {linear_solver}")
+
+    init_norm = jnp.linalg.norm(res(wp))
+
+    def cond(carry):
+        w, it, done, rn, prev_rn = carry
+        return jnp.logical_and(~done, it < max_its)
+
+    def body(carry):
+        w, it, done, _, prev_rn = carry
+        f = res(w)
+        rn = jnp.linalg.norm(f)
+        conv = rn / init_norm < relnorm_cutoff
+        # stagnation escape: once Newton hits its roundoff floor the
+        # residual stops improving — stop instead of burning max_its.
+        # Never fires during healthy (quadratic) convergence, so f64
+        # behavior is identical to the reference's plain loop.
+        stag = jnp.logical_and(it > 0, rn > 0.99 * prev_rn)
+        stop = jnp.logical_or(conv, stag)
+        dw = solve(w, f)
+        w_new = jnp.where(stop, w, w - dw)
+        return (w_new, it + 1, stop, rn, rn)
+
+    big = jnp.asarray(jnp.inf, wp.dtype)
+    w, it, done, rn, _ = jax.lax.while_loop(
+        cond, body, (wp, jnp.int32(0), jnp.bool_(False), init_norm, big)
+    )
+    # `it` counts loop entries; converged entries do not update w, matching
+    # the reference's break-before-update. Iterations-with-update = it - done.
+    return NewtonResult(w=w, num_its=it - done.astype(jnp.int32),
+                        resnorm=rn, init_norm=init_norm)
+
+
+class FOMResult(NamedTuple):
+    snaps: jnp.ndarray       # (2n, num_steps+1) trajectory, columns = time
+    total_newton_its: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "num_steps", "max_its", "linear_solver", "num_sweeps",
+        "snaps_dtype",
+    ),
+)
+def inviscid_burgers_implicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2,
+                                *, max_its: int = 100,
+                                relnorm_cutoff: float | None = None,
+                                linear_solver: str = "wavefront",
+                                num_sweeps: int | None = None,
+                                snaps_dtype=None) -> FOMResult:
+    """Implicit FOM trajectory: `num_steps` CN steps from w0.
+
+    Returns all num_steps+1 snapshots, column-major in time, identical
+    layout to the reference (hypernet2D.py:89-129). `snaps_dtype` lets the
+    caller store the trajectory in a narrower dtype (e.g. f32) while
+    solving in f64.
+    """
+    w0 = jnp.asarray(w0)
+    sd = snaps_dtype or w0.dtype
+
+    def step(carry, _):
+        wp, its = carry
+        out = newton_step(wp, mu1, mu2, dt, grid,
+                          max_its=max_its, relnorm_cutoff=relnorm_cutoff,
+                          linear_solver=linear_solver, num_sweeps=num_sweeps)
+        return (out.w, its + out.num_its), out.w.astype(sd)
+
+    (wT, total_its), traj = jax.lax.scan(
+        step, (w0, jnp.int32(0)), None, length=num_steps
+    )
+    snaps = jnp.concatenate((w0.astype(sd)[None, :], traj), axis=0).T
+    return FOMResult(snaps=snaps, total_newton_its=total_its)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "num_steps"))
+def inviscid_burgers_explicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2):
+    """Forward-Euler explicit stepper (reference hypernet2D.py:30-70).
+
+    The reference version is a demo that only records every 500th step and
+    plots inline; here the full trajectory is returned (2n, num_steps+1).
+    """
+    w0 = jnp.asarray(w0)
+    src = source_term(grid, mu2, 1.0, dtype=w0.dtype)  # 0.02*exp(mu2 xc)
+    lbc = inflow_bc_term(grid, mu1, 1.0, dtype=w0.dtype)  # 0.5*mu1^2/dx col 0
+    # note: built with dt=1 so they are the *rates*; scaled by dt below.
+
+    def step(wp, _):
+        up, vp = grid.split_fields(wp)
+        fu = 0.5 * up * up
+        fv = 0.5 * vp * vp
+        fuv = 0.5 * up * vp
+        u = up - dt * (ddx_upwind(fu, grid.dx) - lbc) + dt * src \
+            - dt * ddy_upwind(fuv, grid.dy)
+        v = vp - dt * ddy_upwind(fv, grid.dy) - dt * ddx_upwind(fuv, grid.dx)
+        w = grid.merge_fields(u, v)
+        return w, w
+
+    _, traj = jax.lax.scan(step, w0, None, length=num_steps)
+    return jnp.concatenate((w0[None, :], traj), axis=0).T
