@@ -1,0 +1,88 @@
+"""Snapshot cache: the param -> file protocol.
+
+Mirrors the reference's only FOM entry point for all pipelines
+(hypernet2D.py:3081-3145): deterministic filenames
+`param_snaps/mu1_{v}+mu2_{v}.npy`, compute-once / reuse-everywhere.
+Filenames are byte-identical to the reference's so artifact directories
+are interchangeable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Sequence
+
+import numpy as np
+
+from finitedifference_tpu.grid import Grid2D
+
+
+def param_to_snap_fn(mu: Sequence[float], snap_folder: str = "param_snaps",
+                     suffix: str = ".npy") -> str:
+    """`param_snaps/mu1_{mu1}+mu2_{mu2}.npy` (reference hypernet2D.py:3081)."""
+    parts = [f"mu{i + 1}_{m}" for i, m in enumerate(mu)]
+    return os.path.join(snap_folder, "+".join(parts)) + suffix
+
+
+def get_saved_params(snap_folder: str = "param_snaps") -> set:
+    return set(glob.glob(os.path.join(snap_folder, "*")))
+
+
+def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
+                          snap_folder: str = "param_snaps") -> np.ndarray:
+    """Load cached FOM snapshots, else run the implicit FOM and cache.
+
+    Returns (2n, num_steps+1) float64 ndarray, identical layout and
+    filename protocol to the reference (hypernet2D.py:3111-3145).
+    """
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+
+    os.makedirs(snap_folder, exist_ok=True)
+    snap_fn = param_to_snap_fn(mu, snap_folder=snap_folder)
+    if snap_fn in get_saved_params(snap_folder=snap_folder):
+        return np.load(snap_fn)[:, : num_steps + 1]
+
+    t0 = time.time()
+    res = inviscid_burgers_implicit2d(
+        grid, jnp.asarray(w0), dt, num_steps, float(mu[0]), float(mu[1])
+    )
+    snaps = np.asarray(res.snaps)
+    print(f"Computed FOM snaps for mu1={mu[0]}, mu2={mu[1]} in "
+          f"{time.time() - t0:.3e} s ({int(res.total_newton_its)} Newton its)")
+    np.save(snap_fn, snaps)
+    return snaps
+
+
+def collect_snapshots(mu_list, grid: Grid2D, w0, dt, num_steps,
+                      snap_folder: str = "param_snaps") -> np.ndarray:
+    """Stack snapshot matrices for a list of mu points -> (2n, T+1 * len)."""
+    cols = []
+    for mu in mu_list:
+        cols.append(load_or_compute_snaps(mu, grid, w0, dt, num_steps,
+                                          snap_folder=snap_folder))
+    return np.hstack(cols)
+
+
+def compute_error(rom_snaps, hdm_snaps):
+    """Per-timestep relative error + mean (reference hypernet2D.py:3074-3079).
+
+    Note: matches the reference exactly, including its quirk of
+    normalizing by ||rom|| rather than ||hdm||.
+    """
+    sq_rom = np.sqrt(np.square(rom_snaps).sum(axis=0))
+    sq_err = np.sqrt(np.square(rom_snaps - hdm_snaps).sum(axis=0))
+    rel_err = sq_err / sq_rom
+    return rel_err, rel_err.mean()
+
+
+def relative_error_pct(rom_snaps, hdm_snaps) -> float:
+    """The canonical end-to-end metric 100*||hdm-rom||_F/||hdm||_F
+    (e.g. reference run_prom.py:121)."""
+    return float(
+        100.0 * np.linalg.norm(hdm_snaps - rom_snaps)
+        / np.linalg.norm(hdm_snaps)
+    )

@@ -1,0 +1,103 @@
+"""Gauss-Newton solver family for LSPG-type reduced systems.
+
+One generic jitted Gauss-Newton replaces the reference's six hand-copied
+variants (gauss_newton_LSPG / _ECSW_2D / _rnm / _rnm_ecsw / _pod_rbf /
+_pod_rbf_ecsw / _pod_gp_ecsw, hypernet2D.py:1859-2408). Every variant is
+the same iteration
+
+    w  = decode(y)
+    f  = res(w)                  (optionally ECSW-weighted)
+    V  = dec_jac(y, w)           (decoder Jacobian; constant for linear)
+    dy = argmin || diag(wgt) (J(w) V dy + f) ||_2
+    y += dy
+
+with the reference's stopping rules preserved exactly: relative residual
+norm < `relnorm_cutoff` (1e-5), or stagnation
+|r_{k-1} - r_k| / r_{k-1} < `min_delta` (0.1), or `max_its` (20).
+The check happens *before* the update, so a stopped iteration leaves y
+untouched — same as the reference's `break`.
+
+The least-squares solve is dense QR on the MXU (the reference calls
+np.linalg.lstsq on a tall-skinny J@V, hypernet2D.py:1918).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+def lstsq_qr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares via reduced QR — tall-skinny friendly (MXU matmul +
+    small triangular solve). Assumes full column rank (J@V ≈ V + O(dt))."""
+    q, r = jnp.linalg.qr(a)
+    return solve_triangular(r, q.T @ b, lower=False)
+
+
+class GNResult(NamedTuple):
+    y: jnp.ndarray
+    num_its: jnp.ndarray
+    resnorm: jnp.ndarray
+    init_norm: jnp.ndarray
+
+
+def gauss_newton(
+    decode: Callable,
+    dec_jac: Callable,
+    res_fn: Callable,
+    jac_apply: Callable,
+    y0: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    max_its: int = 20,
+    relnorm_cutoff: float = 1e-5,
+    min_delta: float = 0.1,
+    stepsize: float = 1.0,
+) -> GNResult:
+    """Generic Gauss-Newton for min_y || wgt * res(decode(y)) ||.
+
+    decode:    y -> w               (full or sampled state)
+    dec_jac:   (y, w) -> V          (d decode / d y)
+    res_fn:    w -> f
+    jac_apply: (w, V) -> J(w) @ V
+    weights:   optional ECSW weights, same length as f.
+    """
+    w0 = decode(y0)
+    f0 = res_fn(w0)
+    if weights is not None:
+        f0 = f0 * weights
+    init_norm = jnp.linalg.norm(f0)
+
+    def cond(carry):
+        y, it, done, rn_prev = carry
+        return jnp.logical_and(~done, it < max_its)
+
+    def body(carry):
+        y, it, done, rn_prev = carry
+        w = decode(y)
+        f = res_fn(w)
+        fw = f * weights if weights is not None else f
+        rn = jnp.linalg.norm(fw)
+        conv = rn / init_norm < relnorm_cutoff
+        stag = jnp.logical_and(
+            it > 0, jnp.abs(rn_prev - rn) / rn_prev < min_delta
+        )
+        stop = jnp.logical_or(conv, stag)
+
+        v = dec_jac(y, w)
+        jv = jac_apply(w, v)
+        if weights is not None:
+            jv = weights[:, None] * jv
+        dy = lstsq_qr(jv, -fw)
+        y_new = jnp.where(stop, y, y + stepsize * dy)
+        return (y_new, it + 1, stop, rn)
+
+    big = jnp.asarray(jnp.inf, init_norm.dtype)
+    y, it, done, rn = jax.lax.while_loop(
+        cond, body, (y0, jnp.int32(0), jnp.bool_(False), big)
+    )
+    return GNResult(y=y, num_its=it - done.astype(jnp.int32),
+                    resnorm=rn, init_norm=init_norm)

@@ -1,0 +1,102 @@
+"""LSPG PROM parity vs the numpy oracle, and snapshot protocol tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+import oracle_rom
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.pod import pod
+from finitedifference_tpu.rom import lspg_prom, reconstruct
+from finitedifference_tpu.snapshots import (
+    compute_error,
+    load_or_compute_snaps,
+    param_to_snap_fn,
+    relative_error_pct,
+)
+
+MU = [4.75, 0.02]
+DT = 0.05
+
+
+def setup_problem(nx=12, ny=10, num_steps=20, k=8):
+    grid = Grid2D(nx=nx, ny=ny, x_up=100.0, y_up=100.0)
+    ops, xc = oracle.make_problem(nx=nx, ny=ny)
+    w0 = np.ones(grid.state_dim)
+    # training snapshots from two nearby parameter points
+    s1 = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, num_steps, ops, xc)
+    s2 = oracle.implicit_trajectory(w0, [5.5, 0.015], DT, num_steps, ops, xc)
+    snaps = np.hstack((s1, s2))
+    basis, _ = pod(snaps, num_modes=k, method="svd")
+    return grid, ops, xc, w0, np.asarray(basis)
+
+
+class TestLSPG:
+    def test_matches_oracle(self):
+        grid, ops, xc, w0, basis = setup_problem()
+        steps = 20
+        res = lspg_prom(grid, jnp.asarray(w0), DT, steps, MU[0], MU[1],
+                        jnp.asarray(basis))
+        red_oracle, its_oracle = oracle_rom.lspg_trajectory(
+            w0, MU, DT, steps, ops, xc, basis)
+        got = np.asarray(res.red_coords)
+        rel = np.linalg.norm(got - red_oracle) / np.linalg.norm(red_oracle)
+        assert rel < 1e-9
+        assert int(res.total_gn_its) == its_oracle
+
+    def test_accuracy_vs_fom(self):
+        """The PROM should track the FOM at an out-of-sample point."""
+        grid, ops, xc, w0, basis = setup_problem(k=12)
+        steps = 20
+        res = lspg_prom(grid, jnp.asarray(w0), DT, steps, MU[0], MU[1],
+                        jnp.asarray(basis))
+        rom_snaps = np.asarray(reconstruct(basis, res.red_coords))
+        hdm = oracle.implicit_trajectory(w0, MU, DT, steps, ops, xc)
+        err = relative_error_pct(rom_snaps, hdm)
+        assert err < 1.0  # percent
+
+    def test_vmap_sweep(self):
+        grid, ops, xc, w0, basis = setup_problem(nx=8, ny=8)
+        mus = jnp.asarray([[4.5, 0.02], [5.0, 0.025]])
+        run = jax.vmap(lambda mu: lspg_prom(
+            grid, jnp.asarray(w0), DT, 5, mu[0], mu[1],
+            jnp.asarray(basis)).red_coords)
+        out = run(mus)
+        assert out.shape == (2, basis.shape[1], 6)
+        for i in range(2):
+            want, _ = oracle_rom.lspg_trajectory(
+                w0, list(np.asarray(mus[i])), DT, 5, ops, xc, basis)
+            rel = np.linalg.norm(np.asarray(out[i]) - want) / \
+                np.linalg.norm(want)
+            assert rel < 1e-9
+
+
+class TestSnapshots:
+    def test_filename_protocol(self):
+        # byte-identical to the reference's param_to_snap_fn output
+        assert param_to_snap_fn([4.25, 0.015]) == \
+            "param_snaps/mu1_4.25+mu2_0.015.npy"
+        assert param_to_snap_fn([5.5, 0.03], snap_folder="x") == \
+            "x/mu1_5.5+mu2_0.03.npy"
+
+    def test_cache_roundtrip(self, tmp_path):
+        grid = Grid2D(nx=6, ny=6, x_up=100.0, y_up=100.0)
+        w0 = np.ones(grid.state_dim)
+        folder = str(tmp_path / "snaps")
+        s1 = load_or_compute_snaps(MU, grid, w0, DT, 4, snap_folder=folder)
+        # second call must hit the cache and return identical bits
+        s2 = load_or_compute_snaps(MU, grid, w0, DT, 4, snap_folder=folder)
+        np.testing.assert_array_equal(s1, s2)
+        # truncated reload
+        s3 = load_or_compute_snaps(MU, grid, w0, DT, 2, snap_folder=folder)
+        np.testing.assert_array_equal(s3, s1[:, :3])
+
+    def test_error_metrics(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(10, 5)) + 5
+        rel, mean = compute_error(a, a)
+        assert np.all(rel == 0) and mean == 0
+        b = a + 0.01
+        pct = relative_error_pct(b, a)
+        assert 0 < pct < 5
