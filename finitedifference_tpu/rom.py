@@ -81,3 +81,82 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
 def reconstruct(basis, red_coords) -> jnp.ndarray:
     """Full-state snapshots from reduced coordinates: (2n, T+1)."""
     return jnp.asarray(basis) @ jnp.asarray(red_coords)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "num_steps", "max_its"),
+)
+def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
+               num_steps, mu1, mu2, *, max_its: int = 20,
+               relnorm_cutoff: float = 1e-5,
+               min_delta: float = 0.1) -> ROMResult:
+    """HPROM: LSPG on the ECSW sampled mesh (reference
+    inviscid_burgers_ecsw_fixed, hypernet2D.py:202-273).
+
+    mesh:           ops.sampled.SampledMesh for the nonzero-weight cells.
+    sample_weights: (n_s,) positive ECSW weights at the sampled cells
+                    (duplicated internally over the u and v rows, like the
+                    reference's `weights2 = hstack((weights, weights))`).
+    y0:             initial reduced coords, basis.T @ w0 with the *full*
+                    basis (the caller projects; this stepper never sees
+                    full-size arrays).
+    basis_aug:      (2*n_z, k) basis gathered at augmented rows.
+    """
+    from finitedifference_tpu.ops.sampled import (
+        sampled_inflow_bc,
+        sampled_jacobian_times_basis,
+        sampled_residual,
+        sampled_source,
+    )
+
+    basis_aug = jnp.asarray(basis_aug)
+    y0 = jnp.asarray(y0)
+    dtype = basis_aug.dtype
+    src = sampled_source(mesh, grid, mu2, dt, dtype)
+    lbc = sampled_inflow_bc(mesh, grid, mu1, dt, dtype)
+    wgt = jnp.concatenate((sample_weights, sample_weights)).astype(dtype)
+
+    decode = lambda y: basis_aug @ y
+    dec_jac = lambda y, w: basis_aug
+    jac_apply = lambda w, v: sampled_jacobian_times_basis(
+        w, v, dt, grid, mesh)
+
+    def step(carry, _):
+        yp, wp, its = carry
+        res_fn = lambda w: sampled_residual(
+            w, wp, mu1, mu2, dt, grid, mesh, src, lbc)
+        out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yp,
+                           weights=wgt, max_its=max_its,
+                           relnorm_cutoff=relnorm_cutoff,
+                           min_delta=min_delta)
+        w = basis_aug @ out.y
+        return (out.y, w, its + out.num_its), out.y
+
+    w0_aug = basis_aug @ y0
+    (_, _, its), ys = jax.lax.scan(
+        step, (y0, w0_aug, jnp.int32(0)), None, length=num_steps)
+    red = jnp.concatenate((y0[None, :], ys), axis=0).T
+    return ROMResult(red_coords=red, total_gn_its=its)
+
+
+def prepare_hprom(grid: Grid2D, weights_full, basis):
+    """Host-side setup for ecsw_hprom from a full-grid weight field.
+
+    weights_full: (n_cells,) ECSW weights (zeros = unsampled).
+    Returns (mesh, sample_weights, basis_aug).
+    """
+    import numpy as np
+
+    from finitedifference_tpu.ops.sampled import (
+        augmented_state_indices,
+        build_sampled_mesh,
+    )
+
+    weights_full = np.asarray(weights_full)
+    sample_inds = np.where(weights_full != 0)[0]
+    mesh = build_sampled_mesh(grid, sample_inds)
+    sample_weights = jnp.asarray(weights_full[sample_inds])
+    idx = augmented_state_indices(mesh, grid.n_cells)
+    basis_aug = jnp.asarray(basis)[idx, :]
+    return mesh, sample_weights, basis_aug

@@ -32,9 +32,16 @@ from jax.scipy.linalg import solve_triangular
 
 def lstsq_qr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Least-squares via reduced QR — tall-skinny friendly (MXU matmul +
-    small triangular solve). Assumes full column rank (J@V ≈ V + O(dt))."""
-    q, r = jnp.linalg.qr(a)
-    return solve_triangular(r, q.T @ b, lower=False)
+    small triangular solve). Assumes full column rank (J@V ≈ V + O(dt)).
+    Underdetermined systems (m < n, e.g. a sampled mesh smaller than the
+    basis) fall back to the min-norm solution via QR of a^T."""
+    m, n = a.shape
+    if m >= n:
+        q, r = jnp.linalg.qr(a)
+        return solve_triangular(r, q.T @ b, lower=False)
+    q, r = jnp.linalg.qr(a.T)   # a = r^T q^T
+    z = solve_triangular(r.T, b, lower=True)
+    return q @ z
 
 
 class GNResult(NamedTuple):

@@ -1,0 +1,279 @@
+"""ECSW machinery: sampled stencils, training matrix, NNLS, ECM, HPROM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+import oracle_rom
+from finitedifference_tpu.ecsw import (
+    compute_ecsw_weights,
+    ecsw_training_matrix,
+    empirical_cubature,
+    multilevel_nnls_weights,
+    nnls,
+    nnls_fista,
+)
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.ops.sampled import (
+    augmented_state_indices,
+    build_sampled_mesh,
+    generate_augmented_mesh,
+    sampled_jacobian_times_basis,
+    sampled_residual,
+)
+from finitedifference_tpu.pod import pod
+from finitedifference_tpu.rom import ecsw_hprom, lspg_prom, prepare_hprom
+from finitedifference_tpu.snapshots import relative_error_pct
+
+MU = [4.75, 0.02]
+DT = 0.05
+
+
+def setup_problem(nx=12, ny=10, num_steps=20, k=8):
+    grid = Grid2D(nx=nx, ny=ny, x_up=100.0, y_up=100.0)
+    ops, xc = oracle.make_problem(nx=nx, ny=ny)
+    w0 = np.ones(grid.state_dim)
+    s1 = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, num_steps, ops, xc)
+    s2 = oracle.implicit_trajectory(w0, [5.5, 0.015], DT, num_steps, ops, xc)
+    snaps = np.hstack((s1, s2))
+    basis, _ = pod(snaps, num_modes=k, method="svd")
+    return grid, ops, xc, w0, np.asarray(basis), s1
+
+
+class TestSampledOps:
+    def pick_sample(self, grid, seed=0, frac=0.3):
+        rng = np.random.default_rng(seed)
+        n = grid.n_cells
+        inds = rng.choice(n, size=max(4, int(frac * n)), replace=False)
+        # include corner cells to exercise the boundary branches
+        inds = np.unique(np.concatenate([inds, [0, grid.nx - 1,
+                                                n - grid.nx, n - 1]]))
+        return np.sort(inds)
+
+    def test_augmented_mesh(self):
+        grid = Grid2D(nx=5, ny=4, x_up=100.0, y_up=100.0)
+        aug = generate_augmented_mesh(grid, np.array([6]))
+        # cell 6 = (r=1, c=1); neighbors west=5, south=1
+        np.testing.assert_array_equal(aug, [1, 5, 6])
+        aug0 = generate_augmented_mesh(grid, np.array([0]))
+        np.testing.assert_array_equal(aug0, [0])
+
+    def test_sampled_residual_matches_full(self):
+        grid, ops, xc, w0, basis, _ = setup_problem()
+        sample = self.pick_sample(grid)
+        mesh = build_sampled_mesh(grid, sample)
+        idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
+
+        rng = np.random.default_rng(1)
+        w = 1 + rng.uniform(size=grid.state_dim)
+        wp = 1 + rng.uniform(size=grid.state_dim)
+        got = sampled_residual(jnp.asarray(w[idx]), jnp.asarray(wp[idx]),
+                               MU[0], MU[1], DT, grid, mesh)
+        full = oracle.residual(w, wp, MU, DT, ops, xc)
+        want = np.concatenate((full[sample], full[grid.n_cells + sample]))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-13)
+
+    def test_sampled_jv_matches_full(self):
+        grid, ops, xc, w0, basis, _ = setup_problem()
+        sample = self.pick_sample(grid, seed=2)
+        mesh = build_sampled_mesh(grid, sample)
+        idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
+
+        rng = np.random.default_rng(3)
+        w = 1 + rng.uniform(size=grid.state_dim)
+        got = sampled_jacobian_times_basis(
+            jnp.asarray(w[idx]), jnp.asarray(basis[idx]), DT, grid, mesh)
+        full = oracle.jacobian(w, DT, ops) @ basis
+        want = np.vstack((full[sample], full[grid.n_cells + sample]))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-13)
+
+
+class TestNNLS:
+    # the reference anchors lsqnonneg against published MATLAB resnorms
+    # (lsqnonneg.py:114-187); same acceptance values here.
+    def test_matlab_case_1(self):
+        C = np.array([[0.0372, 0.2869], [0.6861, 0.7071],
+                      [0.6233, 0.6245], [0.6344, 0.6170]])
+        d = np.array([0.8587, 0.1781, 0.0747, 0.8405])
+        x, resnorm, _ = nnls(C, d)
+        assert abs(resnorm - 0.8315) < 1e-3
+        assert np.all(x >= 0)
+
+    def test_matlab_case_2(self):
+        C1 = np.array([[0.0372, 0.2869, 0.4], [0.6861, 0.7071, 0.3],
+                       [0.6233, 0.6245, 0.1], [0.6344, 0.6170, 0.5]])
+        d = np.array([0.8587, 0.1781, 0.0747, 0.8405])
+        x, resnorm, _ = nnls(C1, d)
+        assert abs(resnorm - 0.1477) < 1e-2
+
+    def test_matlab_case_3(self):
+        C2 = np.array([[0.0372, 0.2869, 0.4], [0.6861, 0.7071, -0.3],
+                       [0.6233, 0.6245, -0.1], [0.6344, 0.6170, 0.5]])
+        d = np.array([0.8587, 0.1781, 0.0747, 0.8405])
+        x, resnorm, _ = nnls(C2, d)
+        assert abs(resnorm - 0.1027) < 1e-2
+
+    def test_matlab_case_random10x5(self):
+        k = np.array([[0.1210, 0.2319, 0.4398, 0.9342, 0.1370],
+                      [0.4508, 0.2393, 0.3400, 0.2644, 0.8188],
+                      [0.7159, 0.0498, 0.3142, 0.1603, 0.4302],
+                      [0.8928, 0.0784, 0.3651, 0.8729, 0.8903],
+                      [0.2731, 0.6408, 0.3932, 0.2379, 0.7349],
+                      [0.2548, 0.1909, 0.5915, 0.6458, 0.6873],
+                      [0.8656, 0.8439, 0.1197, 0.9669, 0.3461],
+                      [0.2324, 0.1739, 0.0381, 0.6649, 0.1660],
+                      [0.8049, 0.1708, 0.4586, 0.8704, 0.1556],
+                      [0.9084, 0.9943, 0.8699, 0.0099, 0.1911]])
+        l = np.array([0.4225, 0.8560, 0.4902, 0.8159, 0.4608,
+                      0.4574, 0.4507, 0.4122, 0.9016, 0.0056])
+        x, resnorm, _ = nnls(k, l)
+        assert abs(resnorm - 0.3695) < 1e-2
+        x, resnorm, _ = nnls(k - 0.5, l)
+        assert abs(resnorm - 2.8639) < 1e-2
+
+    def test_vs_scipy(self):
+        import scipy.optimize
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            C = rng.normal(size=(30, 12))
+            d = rng.normal(size=30)
+            x, resnorm, _ = nnls(C, d)
+            xs, rs = scipy.optimize.nnls(C, d)
+            np.testing.assert_allclose(x, xs, atol=1e-8)
+
+    def test_early_stop_max_support(self):
+        rng = np.random.default_rng(1)
+        C = rng.uniform(size=(50, 40))
+        d = C @ rng.uniform(size=40)
+        x, _, _ = nnls(C, d, max_support=5)
+        assert 0 < (x > 0).sum() <= 6  # may overshoot by the joining column
+
+    def test_early_stop_rel_err(self):
+        rng = np.random.default_rng(2)
+        C = rng.uniform(size=(50, 40))
+        d = C @ rng.uniform(size=40)
+        x, _, resid = nnls(C, d, rel_err_thresh=0.05)
+        assert np.linalg.norm(resid) / np.linalg.norm(d) < 0.05
+
+    def test_fista_matches_on_easy_problem(self):
+        rng = np.random.default_rng(3)
+        C = rng.normal(size=(40, 10)) + 2
+        x_true = np.abs(rng.normal(size=10))
+        d = C @ x_true
+        x, rel = nnls_fista(jnp.asarray(C), jnp.asarray(d), num_iters=2000)
+        assert float(rel) < 1e-6
+        np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-4)
+
+    def test_fista_vmap(self):
+        rng = np.random.default_rng(4)
+        Cs = rng.normal(size=(3, 20, 6)) + 1
+        ds = np.einsum("bij,bj->bi", Cs, np.abs(rng.normal(size=(3, 6))))
+        xs, rels = jax.vmap(lambda C, d: nnls_fista(C, d, num_iters=1000))(
+            jnp.asarray(Cs), jnp.asarray(ds))
+        assert np.all(np.asarray(rels) < 1e-4)
+
+
+class TestECM:
+    def test_exact_integration(self):
+        """With tol=0 ECM must reproduce G @ 1 exactly at convergence."""
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(60, 6))
+        q, _ = np.linalg.qr(a)   # orthonormal columns, like rSVD output
+        z, w = empirical_cubature(q, tolerance=1e-10)
+        assert np.all(w > 0)
+        b = q.T @ np.ones(60)
+        np.testing.assert_allclose(q[z].T @ w, b, atol=1e-8)
+        assert len(z) <= 60
+
+    def test_sparse_selection(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(200, 4))
+        q, _ = np.linalg.qr(a)
+        z, w = empirical_cubature(q, tolerance=1e-8)
+        assert len(z) <= 12  # ~rank+constraint many points suffice
+
+
+class TestHPROMParity:
+    def test_all_cells_sampled_equals_lspg(self):
+        """With unit weights everywhere, HPROM == LSPG PROM exactly."""
+        grid, ops, xc, w0, basis, _ = setup_problem(nx=8, ny=8)
+        steps = 10
+        weights = np.ones(grid.n_cells)
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, steps,
+                           MU[0], MU[1])
+        prom = lspg_prom(grid, jnp.asarray(w0), DT, steps, MU[0], MU[1],
+                         jnp.asarray(basis))
+        np.testing.assert_allclose(np.asarray(hprom.red_coords),
+                                   np.asarray(prom.red_coords),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_weighted_matches_oracle(self):
+        """HPROM on a random weighted sample == full-size weighted GN
+        (zero-weight rows drop out of the least squares)."""
+        grid, ops, xc, w0, basis, _ = setup_problem(nx=8, ny=8)
+        steps = 8
+        rng = np.random.default_rng(5)
+        weights = np.zeros(grid.n_cells)
+        chosen = rng.choice(grid.n_cells, size=30, replace=False)
+        weights[chosen] = 1.0 + rng.uniform(size=30)
+
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, steps,
+                           MU[0], MU[1])
+
+        # numpy oracle: full-size ops, weighted GN
+        w2 = np.concatenate((weights, weights))
+        red = np.zeros((basis.shape[1], steps + 1))
+        y = basis.T @ w0
+        red[:, 0] = y
+        wp = basis @ y
+        for i in range(steps):
+            res = lambda w_: oracle.residual(w_, wp, MU, DT, ops, xc)
+            jac = lambda w_: oracle.jacobian(w_, DT, ops)
+            y, _ = oracle_rom.gauss_newton_lspg(res, jac, basis, y,
+                                                weights=w2)
+            red[:, i + 1] = y
+            wp = basis @ y
+        rel = np.linalg.norm(np.asarray(hprom.red_coords) - red) / \
+            np.linalg.norm(red)
+        assert rel < 1e-9
+
+    def test_end_to_end_nnls_hprom(self):
+        """Full offline->online ECSW flow accuracy at an unseen mu."""
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=20, k=8)
+        # training matrix: snapshot vs 3-steps-earlier state, so the
+        # residual is nonzero (the reference's pairing,
+        # run_HPROM_ecsw_joshua.py:61-64)
+        C = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s1[:, 3::2]), jnp.asarray(s1[:, 0:-3:2]),
+            jnp.asarray(basis), 4.25, 0.0225, DT))
+        weights = compute_ecsw_weights(C, grid, bc_w=5.0,
+                                       rel_err_thresh=1e-4)
+        n_e = int((weights > 0).sum())
+        assert n_e < grid.n_cells  # actually hyper-reduced
+
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, 20,
+                           MU[0], MU[1])
+        rom_snaps = basis @ np.asarray(hprom.red_coords)
+        hdm = oracle.implicit_trajectory(w0, MU, DT, 20, ops, xc)
+        err = relative_error_pct(rom_snaps, hdm)
+        assert err < 2.0
+
+    def test_multilevel_weights(self):
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=10, k=6)
+        C = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s1[:, 3::2]), jnp.asarray(s1[:, 0:-3:2]),
+            jnp.asarray(basis), 4.25, 0.0225, DT))
+        weights = multilevel_nnls_weights(C, grid, num_subdomains=4,
+                                          bc_w=5.0)
+        assert (weights > 0).sum() > 0
+        assert weights.shape == (grid.n_cells,)
