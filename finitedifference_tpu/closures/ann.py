@@ -1,0 +1,47 @@
+"""POD-ANN (RNM) closure: a small ELU MLP mapping q_p -> q_s.
+
+Flax replacement of the reference's PyTorch RNM_NN (models.py:9-42:
+q1 -> 32 -> 64 -> 128 -> 256 -> 256 -> q2 with ELU). The decoder Jacobian
+is jax.jacfwd of the network — on-device, no framework boundary (the
+reference crosses NumPy<->PyTorch twice per Gauss-Newton iteration via
+functorch.jacfwd, hypernet2D.py:2121).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from finitedifference_tpu.closures.common import Closure
+
+
+class RNM_NN(nn.Module):
+    """ELU MLP with the reference architecture (models.py:13-27)."""
+    q2_size: int
+    hidden: Sequence[int] = (32, 64, 128, 256, 256)
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.elu(nn.Dense(h)(x))
+        return nn.Dense(self.q2_size)(x)
+
+
+def rnm_closure(module: RNM_NN, params) -> Closure:
+    """Closure from a trained RNM network."""
+    predict = lambda y: module.apply(params, y)
+    jacobian = jax.jacfwd(predict)
+    return Closure(predict=predict, jacobian=jacobian)
+
+
+def init_rnm(q1_size: int, q2_size: int, key=None, dtype=jnp.float64):
+    """Create module + initial params."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    module = RNM_NN(q2_size=q2_size)
+    params = module.init(key, jnp.zeros(q1_size, dtype))
+    return module, params

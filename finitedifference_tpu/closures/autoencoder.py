@@ -1,0 +1,100 @@
+"""Full nonlinear-manifold autoencoder (the TestAE variant's model).
+
+Flax replacement of the reference's ScaledAutoencoder
+(BurgersFD_CleanTestAE/AE/train_autoencoder.py:35-73): ReLU MLP
+input -> 512 -> 256 -> 128 -> 64 -> z and mirrored decoder, with
+per-feature standardization (mean/std of the training snapshots) applied
+around the network. The scaling vectors live alongside the params (not as
+module attributes) so the module stays hashable for jit. The decoder
+Jacobian is jax.jacfwd instead of torch.autograd.functional.jacobian
+(BurgersFD_CleanTestAE/hypernet2D.py:2054-2139).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Encoder(nn.Module):
+    latent_dim: int
+    hidden: Sequence[int] = (512, 256, 128, 64)
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return nn.Dense(self.latent_dim)(x)
+
+
+class Decoder(nn.Module):
+    output_dim: int
+    hidden: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, z):
+        for h in self.hidden:
+            z = nn.relu(nn.Dense(h)(z))
+        return nn.Dense(self.output_dim)(z)
+
+
+class Autoencoder(nn.Module):
+    """Encoder/decoder on *standardized* inputs."""
+    input_dim: int
+    latent_dim: int
+
+    def setup(self):
+        self.encoder = Encoder(latent_dim=self.latent_dim)
+        self.decoder = Decoder(output_dim=self.input_dim)
+
+    def encode(self, x_scaled):
+        return self.encoder(x_scaled)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, x_scaled):
+        return self.decode(self.encode(x_scaled))
+
+
+class ScaledAE(NamedTuple):
+    """Trained autoencoder bundle: module + params + standardization."""
+    module: Autoencoder
+    params: dict
+    mu_in: jnp.ndarray    # (input_dim,)
+    sig_in: jnp.ndarray   # (input_dim,)
+
+    def forward(self, x):
+        xs = (x - self.mu_in) / self.sig_in
+        recon = self.module.apply(self.params, xs)
+        return recon * self.sig_in + self.mu_in
+
+    def encode(self, x):
+        xs = (x - self.mu_in) / self.sig_in
+        return self.module.apply(self.params, xs,
+                                 method=self.module.encode)
+
+    def decode(self, z):
+        recon = self.module.apply(self.params, z,
+                                  method=self.module.decode)
+        return recon * self.sig_in + self.mu_in
+
+
+def init_autoencoder(input_dim: int, latent_dim: int, key=None,
+                     dtype=jnp.float64):
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    module = Autoencoder(input_dim=input_dim, latent_dim=latent_dim)
+    params = module.init(key, jnp.zeros(input_dim, dtype))
+    return module, params
+
+
+def ae_decoder_fns(ae: ScaledAE):
+    """(decode, dec_jac, encode) for the AE-LSPG ROM (manifold_rom)."""
+    decode = ae.decode
+    jac = jax.jacfwd(decode)
+    dec_jac = lambda z, w=None: jac(z)
+    return decode, dec_jac, ae.encode

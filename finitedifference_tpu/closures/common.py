@@ -1,0 +1,73 @@
+"""Shared closure plumbing: scaler, closure protocol, manifold decoder."""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MinMaxScaler(NamedTuple):
+    """sklearn-compatible MinMaxScaler state (reference pipelines fit
+    MinMaxScaler(feature_range=(-1, 1)) on q_p —
+    POD-RBF_global/compute_global_weights_grid_search_with_kernels.py).
+    transform(x) = x * scale_ + min_."""
+    scale_: jnp.ndarray   # (dim,)
+    min_: jnp.ndarray     # (dim,)
+
+    def transform(self, x):
+        return x * self.scale_ + self.min_
+
+    def inverse_transform(self, x):
+        return (x - self.min_) / self.scale_
+
+
+def fit_minmax(data, feature_range=(-1.0, 1.0)) -> MinMaxScaler:
+    """Fit a MinMaxScaler on rows of `data` (n_samples, dim)."""
+    data = np.asarray(data)
+    dmin = data.min(axis=0)
+    dmax = data.max(axis=0)
+    span = np.where(dmax - dmin == 0, 1.0, dmax - dmin)
+    fmin, fmax = feature_range
+    scale = (fmax - fmin) / span
+    minv = fmin - dmin * scale
+    return MinMaxScaler(scale_=jnp.asarray(scale), min_=jnp.asarray(minv))
+
+
+class Closure(NamedTuple):
+    """q_p -> q_s map with an explicit Jacobian.
+
+    predict:  (n_p,) -> (n_s,)
+    jacobian: (n_p,) -> (n_s, n_p)
+    """
+    predict: Callable
+    jacobian: Callable
+
+
+def manifold_decoder(basis, basis2, closure: Optional[Closure],
+                     ref=None):
+    """Build (decode, dec_jac) for w(y) = ref + U_p y + U_s closure(y).
+
+    With closure=None this degenerates to the linear decoder. `ref` is an
+    optional reference-state offset (the snapshot-centering vector some
+    reference training pipelines subtract, train_utils.py:120-127).
+    """
+    basis = jnp.asarray(basis)
+    basis2 = jnp.asarray(basis2) if basis2 is not None else None
+    ref = jnp.asarray(ref) if ref is not None else None
+
+    def decode(y):
+        w = basis @ y
+        if closure is not None:
+            w = w + basis2 @ closure.predict(y)
+        if ref is not None:
+            w = w + ref
+        return w
+
+    def dec_jac(y, w=None):
+        if closure is None:
+            return basis
+        return basis + basis2 @ closure.jacobian(y)
+
+    return decode, dec_jac

@@ -1,0 +1,130 @@
+"""Gaussian-process closure: Matérn-3/2 GP regression q_p -> q_s.
+
+Replaces the reference's sklearn GaussianProcessRegressor usage
+(POD-GP/train_gp.py:67-74: ConstantKernel x Matern(nu=1.5) on MinMax-
+scaled inputs) and its custom fast predict `k_vec @ alpha_`
+(hypernet2D.py:1482-1487) + hand-derived Matérn gradient
+(`matern15_grad`/`jac_gp`, hypernet2D.py:1720-1808).
+
+TPU-native: the fit maximizes the exact multi-output log marginal
+likelihood with optax Adam on (log amplitude, log length-scale) — fully
+jitted — and predict/Jacobian are closed-form device expressions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from finitedifference_tpu.closures.common import Closure, MinMaxScaler
+
+
+def matern32(xa, xb, length_scale, amplitude=1.0):
+    """k(xa, xb) = amp * (1 + sqrt(3) r / l) exp(-sqrt(3) r / l)."""
+    r = jnp.linalg.norm(xa[:, None, :] - xb[None, :, :], axis=-1)
+    s = jnp.sqrt(3.0) * r / length_scale
+    return amplitude * (1.0 + s) * jnp.exp(-s)
+
+
+class GPModel(NamedTuple):
+    x_train: jnp.ndarray       # (N, n_p) scaled inputs
+    alpha: jnp.ndarray         # (N, n_s) = K^{-1} Y
+    length_scale: jnp.ndarray  # scalar
+    amplitude: jnp.ndarray     # scalar
+    noise: float
+    scaler: MinMaxScaler
+
+
+def _log_marginal_likelihood(params, x, y, noise):
+    log_amp, log_ls = params
+    k = matern32(x, x, jnp.exp(log_ls), jnp.exp(log_amp))
+    k = k + noise * jnp.eye(x.shape[0], dtype=x.dtype)
+    chol = jnp.linalg.cholesky(k)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    n, n_out = y.shape
+    quad = jnp.sum(y * alpha)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
+    return -0.5 * quad - 0.5 * n_out * logdet \
+        - 0.5 * n * n_out * jnp.log(2.0 * jnp.pi)
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def _optimize_hypers(x, y, noise, num_steps: int = 200,
+                     learning_rate: float = 0.05):
+    params0 = jnp.zeros(2, x.dtype)   # log amp = log ls = 0
+    opt = optax.adam(learning_rate)
+    loss = lambda p: -_log_marginal_likelihood(p, x, y, noise)
+
+    def step(carry, _):
+        params, state = carry
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        return (optax.apply_updates(params, updates), state), None
+
+    (params, _), _ = jax.lax.scan(step, (params0, opt.init(params0)), None,
+                                  length=num_steps)
+    return params
+
+
+def fit_gp(q_p_train, q_s_train, scaler: MinMaxScaler | None = None,
+           noise: float = 1e-8, optimize: bool = True,
+           num_steps: int = 200) -> GPModel:
+    """Fit a multi-output Matérn-3/2 GP (shared kernel across outputs,
+    like sklearn's multi-output GPR)."""
+    from finitedifference_tpu.closures.common import fit_minmax
+
+    q_p_train = jnp.asarray(q_p_train)
+    q_s_train = jnp.asarray(q_s_train)
+    if scaler is None:
+        scaler = fit_minmax(np.asarray(q_p_train))
+    x = scaler.transform(q_p_train)
+
+    if optimize:
+        log_amp, log_ls = _optimize_hypers(x, q_s_train, noise,
+                                           num_steps=num_steps)
+        amp, ls = jnp.exp(log_amp), jnp.exp(log_ls)
+    else:
+        amp = jnp.asarray(1.0, x.dtype)
+        ls = jnp.asarray(1.0, x.dtype)
+
+    k = matern32(x, x, ls, amp) + noise * jnp.eye(x.shape[0], dtype=x.dtype)
+    chol = jnp.linalg.cholesky(k)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), q_s_train)
+    return GPModel(x_train=x, alpha=alpha, length_scale=ls, amplitude=amp,
+                   noise=noise, scaler=scaler)
+
+
+def gp_predict(model: GPModel, y):
+    """q_s(y) = k(X_train, x)^T @ alpha (reference custom predict,
+    hypernet2D.py:1482-1487)."""
+    x = model.scaler.transform(y)
+    k_vec = matern32(model.x_train, x[None, :], model.length_scale,
+                     model.amplitude)[:, 0]
+    return k_vec @ model.alpha
+
+
+def gp_jacobian(model: GPModel, y):
+    """Analytic d q_s / d y via the Matérn-3/2 gradient
+    dk/dx = -3 amp / l^2 * exp(-sqrt(3) r / l) * (x - X_i)
+    (reference matern15_grad + jac_gp, hypernet2D.py:1720-1808),
+    chained through the MinMax scaling."""
+    x = model.scaler.transform(y)
+    diff = x[None, :] - model.x_train            # (N, n_p)
+    r = jnp.linalg.norm(diff, axis=1)
+    s = jnp.sqrt(3.0) * r / model.length_scale
+    dk = (-3.0 * model.amplitude / model.length_scale**2) \
+        * jnp.exp(-s)[:, None] * diff            # (N, n_p)
+    jac_scaled = model.alpha.T @ dk              # (n_s, n_p)
+    return jac_scaled * model.scaler.scale_[None, :]
+
+
+def gp_closure(model: GPModel) -> Closure:
+    return Closure(
+        predict=functools.partial(gp_predict, model),
+        jacobian=functools.partial(gp_jacobian, model),
+    )

@@ -140,6 +140,69 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
     return ROMResult(red_coords=red, total_gn_its=its)
 
 
+def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
+                 mu1, mu2, *, mesh=None, sample_weights=None,
+                 max_its: int = 20, relnorm_cutoff: float = 1e-5,
+                 min_delta: float = 0.1) -> ROMResult:
+    """Generic LSPG ROM over a (possibly nonlinear) decoder.
+
+    One stepper covers the reference's RNM/HRNM (hypernet2D.py:275-676),
+    POD-RBF PROM/HPROM (:678-1113), POD-GP HPROM (:1115-1277) and AE-LSPG
+    (TestAE hypernet2D.py:279-344): the variant is entirely in
+    (decode, dec_jac).
+
+    decode/dec_jac operate on the *full* state when mesh is None, or on
+    the augmented sampled rows when a SampledMesh + sample_weights are
+    given (build them with closures.manifold_decoder over gathered bases).
+    """
+    from finitedifference_tpu.ops.sampled import (
+        sampled_inflow_bc,
+        sampled_jacobian_times_basis,
+        sampled_residual,
+        sampled_source,
+    )
+
+    y0 = jnp.asarray(y0)
+    dtype = y0.dtype
+
+    if mesh is None:
+        src = source_term(grid, mu2, dt, dtype=dtype)
+        lbc = inflow_bc_term(grid, mu1, dt, dtype=dtype)
+        res_builder = lambda wp: (lambda w: burgers_residual_flat(
+            w, wp, mu1, mu2, dt, grid, src, lbc))
+        jac_apply = lambda w, v: jacobian_times_basis(w, v, dt, grid)
+        wgt = None
+    else:
+        src = sampled_source(mesh, grid, mu2, dt, dtype)
+        lbc = sampled_inflow_bc(mesh, grid, mu1, dt, dtype)
+        res_builder = lambda wp: (lambda w: sampled_residual(
+            w, wp, mu1, mu2, dt, grid, mesh, src, lbc))
+        jac_apply = lambda w, v: sampled_jacobian_times_basis(
+            w, v, dt, grid, mesh)
+        wgt = jnp.concatenate(
+            (sample_weights, sample_weights)).astype(dtype)
+
+    def step(carry, _):
+        yp, wp, its = carry
+        out = gauss_newton(decode, dec_jac, res_builder(wp), jac_apply, yp,
+                           weights=wgt, max_its=max_its,
+                           relnorm_cutoff=relnorm_cutoff,
+                           min_delta=min_delta)
+        w = decode(out.y)
+        return (out.y, w, its + out.num_its), out.y
+
+    @jax.jit
+    def run(y0):
+        w0 = decode(y0)
+        (_, _, its), ys = jax.lax.scan(
+            step, (y0, w0, jnp.int32(0)), None, length=num_steps)
+        red = jnp.concatenate((y0[None, :], ys), axis=0).T
+        return red, its
+
+    red, its = run(y0)
+    return ROMResult(red_coords=red, total_gn_its=its)
+
+
 def prepare_hprom(grid: Grid2D, weights_full, basis):
     """Host-side setup for ecsw_hprom from a full-grid weight field.
 

@@ -1,0 +1,49 @@
+"""GP closure training (role of the reference's POD-GP trainers,
+POD-GP/train_gp.py:67-74 and compute_gp_models*.py): fit a Matérn-3/2 GP
+from scaled q_p to q_s, persist, reload."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from finitedifference_tpu.closures.common import MinMaxScaler, fit_minmax
+from finitedifference_tpu.closures.gp import GPModel, fit_gp
+from finitedifference_tpu.training.rbf_train import remove_duplicates
+
+
+def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
+             dedup: bool = True, verbose: bool = False) -> GPModel:
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    if dedup:
+        q_p, q_s = remove_duplicates(q_p, q_s)
+    model = fit_gp(q_p, q_s, noise=noise, num_steps=num_steps)
+    if verbose:
+        print(f"  gp: amplitude={float(model.amplitude):.4g} "
+              f"length_scale={float(model.length_scale):.4g}")
+    return model
+
+
+def save_gp(model: GPModel, path: str) -> None:
+    np.savez(path,
+             x_train=np.asarray(model.x_train),
+             alpha=np.asarray(model.alpha),
+             length_scale=np.asarray(model.length_scale),
+             amplitude=np.asarray(model.amplitude),
+             noise=model.noise,
+             scaler_scale=np.asarray(model.scaler.scale_),
+             scaler_min=np.asarray(model.scaler.min_))
+
+
+def load_gp(path: str) -> GPModel:
+    z = np.load(path)
+    return GPModel(
+        x_train=jnp.asarray(z["x_train"]),
+        alpha=jnp.asarray(z["alpha"]),
+        length_scale=jnp.asarray(z["length_scale"]),
+        amplitude=jnp.asarray(z["amplitude"]),
+        noise=float(z["noise"]),
+        scaler=MinMaxScaler(scale_=jnp.asarray(z["scaler_scale"]),
+                            min_=jnp.asarray(z["scaler_min"])),
+    )

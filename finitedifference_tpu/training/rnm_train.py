@@ -1,0 +1,121 @@
+"""POD-ANN (RNM) closure training.
+
+Role of the reference's train_reduced_manifold_autoencoder.py:86-219:
+project snapshots onto a POD basis, split the coefficients into primary
+q_p = q[:n_p] and secondary q_s = q[n_p:n_p+n_s], and regress q_p -> q_s
+with the RNM_NN MLP (MSE, Adam, plateau LR schedule, patience early-stop,
+best-checkpointing).
+
+TPU-native: the whole epoch — shuffle, minibatch, grad steps — is one
+jitted `lax.scan`; only the epoch loop and monitor live on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from finitedifference_tpu.closures.ann import RNM_NN, init_rnm
+from finitedifference_tpu.training.monitor import TrainingMonitor
+
+
+def project_snapshots(basis, snaps_t, num_primary: int,
+                      num_secondary: Optional[int] = None,
+                      mu_labels=None):
+    """q = basis^T snaps -> (q_p, q_s) training pairs.
+
+    snaps_t: (n_samples, 2n) row-major samples. Optionally append the
+    (mu1, mu2) labels to q_p (the `_mu_included` trainer variant,
+    train_reduced_manifold_autoencoder_mu_included.py).
+    """
+    q = np.asarray(snaps_t) @ np.asarray(basis)   # (S, k)
+    n_p = num_primary
+    n_s = num_secondary if num_secondary is not None else q.shape[1] - n_p
+    q_p = q[:, :n_p]
+    q_s = q[:, n_p:n_p + n_s]
+    if mu_labels is not None:
+        q_p = np.hstack([q_p, np.asarray(mu_labels)])
+    return q_p, q_s
+
+
+@functools.partial(jax.jit, static_argnames=("module", "opt", "batch_size"))
+def _train_epoch(module: RNM_NN, opt, params, opt_state, q_p, q_s, key,
+                 batch_size: int):
+    n = q_p.shape[0]
+    num_batches = n // batch_size
+    perm = jax.random.permutation(key, n)[: num_batches * batch_size]
+    xb = q_p[perm].reshape(num_batches, batch_size, -1)
+    yb = q_s[perm].reshape(num_batches, batch_size, -1)
+
+    def loss_fn(p, x, y):
+        pred = jax.vmap(lambda xi: module.apply(p, xi))(x)
+        return jnp.mean((pred - y) ** 2)
+
+    def step(carry, batch):
+        p, s = carry
+        x, y = batch
+        loss, g = jax.value_and_grad(loss_fn)(p, x, y)
+        updates, s = opt.update(g, s, p, value=loss)
+        return (optax.apply_updates(p, updates), s), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), (xb, yb))
+    return params, opt_state, jnp.mean(losses)
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
+def _eval_loss(module: RNM_NN, params, q_p, q_s):
+    pred = jax.vmap(lambda xi: module.apply(params, xi))(q_p)
+    return jnp.mean((pred - q_s) ** 2)
+
+
+def train_rnm(q_p, q_s, *, epochs: int = 2000, lr: float = 1e-3,
+              batch_size: int = 16, train_frac: float = 0.9,
+              patience: int = 100, seed: int = 1234557,
+              model_path: str = "rnm_model.msgpack",
+              plateau_patience: int = 50, plateau_factor: float = 0.5,
+              verbose: bool = False) -> Tuple[RNM_NN, dict, TrainingMonitor]:
+    """Train the RNM closure network. Returns (module, params, monitor)."""
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(q_p.shape[0])
+    n_train = int(train_frac * q_p.shape[0])
+    tr, va = perm[:n_train], perm[n_train:]
+    qp_tr, qs_tr = jnp.asarray(q_p[tr]), jnp.asarray(q_s[tr])
+    qp_va, qs_va = jnp.asarray(q_p[va]), jnp.asarray(q_s[va])
+
+    module, params = init_rnm(q_p.shape[1], q_s.shape[1],
+                              key=jax.random.PRNGKey(seed),
+                              dtype=qp_tr.dtype)
+    # Adam + reduce-on-plateau, the reference's scheduler pairing
+    opt = optax.chain(
+        optax.adam(lr),
+        optax.contrib.reduce_on_plateau(
+            patience=plateau_patience, factor=plateau_factor),
+    )
+    opt_state = opt.init(params)
+    monitor = TrainingMonitor(model_path, patience)
+    key = jax.random.PRNGKey(seed + 1)
+
+    batch_size = min(batch_size, n_train)
+    for epoch in range(epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, train_loss = _train_epoch(
+            module, opt, params, opt_state, qp_tr, qs_tr, sub, batch_size)
+        val_loss = _eval_loss(module, params, qp_va, qs_va) \
+            if va.size else train_loss
+        if verbose and epoch % 50 == 0:
+            print(f"  epoch {epoch}: train {float(train_loss):.3e} "
+                  f"val {float(val_loss):.3e}")
+        if monitor.check_for_completion(float(train_loss), float(val_loss),
+                                        params):
+            break
+
+    best = monitor.load_from_path(model_path, params)
+    return module, best, monitor

@@ -1,0 +1,248 @@
+"""Closure models: RBF (global/kNN), GP, RNM MLP, autoencoder — analytic
+Jacobians vs jax.jacfwd, fit quality, and manifold ROM parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from finitedifference_tpu.closures.ann import init_rnm, rnm_closure
+from finitedifference_tpu.closures.autoencoder import (
+    ScaledAE,
+    ae_decoder_fns,
+    init_autoencoder,
+)
+from finitedifference_tpu.closures.common import (
+    fit_minmax,
+    manifold_decoder,
+)
+from finitedifference_tpu.closures.gp import (
+    fit_gp,
+    gp_closure,
+    gp_jacobian,
+    gp_predict,
+)
+from finitedifference_tpu.closures.rbf import (
+    KERNELS,
+    fit_global_rbf,
+    fit_knn_rbf,
+    global_rbf_closure,
+    knn_rbf_closure,
+    rbf_global_jacobian,
+    rbf_global_predict,
+    rbf_knn_jacobian,
+    rbf_knn_predict,
+)
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.pod import pod, split_basis
+from finitedifference_tpu.rom import lspg_prom, manifold_rom
+from finitedifference_tpu.snapshots import relative_error_pct
+
+
+def smooth_data(n_train=40, n_p=3, n_s=5, seed=0):
+    """Training pairs sampled from a smooth nonlinear map."""
+    rng = np.random.default_rng(seed)
+    q_p = rng.uniform(-1, 1, size=(n_train, n_p)) * np.array([2.0, 1.0, 3.0])
+    a = rng.normal(size=(n_p, n_s))
+    q_s = np.sin(q_p @ a) + 0.3 * (q_p**2) @ np.abs(a)
+    return q_p, q_s
+
+
+class TestScaler:
+    def test_matches_sklearn(self):
+        from sklearn.preprocessing import MinMaxScaler as SkScaler
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(20, 4)) * np.array([1, 10, 0.1, 5])
+        ours = fit_minmax(data)
+        sk = SkScaler(feature_range=(-1, 1)).fit(data)
+        x = rng.normal(size=4)
+        np.testing.assert_allclose(
+            np.asarray(ours.transform(jnp.asarray(x))),
+            sk.transform(x[None])[0], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours.scale_), sk.scale_,
+                                   atol=1e-12)
+
+
+class TestGlobalRBF:
+    @pytest.mark.parametrize("kernel", sorted(KERNELS))
+    def test_analytic_jacobian_matches_jacfwd(self, kernel):
+        q_p, q_s = smooth_data()
+        eps = 0.7
+        model = fit_global_rbf(q_p, q_s, eps, kernel=kernel)
+        y = jnp.asarray(q_p[7] + 0.01)   # off a training point
+        jac = rbf_global_jacobian(model, y)
+        jac_ad = jax.jacfwd(lambda z: rbf_global_predict(model, z))(y)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_interpolates_training_points(self):
+        q_p, q_s = smooth_data()
+        model = fit_global_rbf(q_p, q_s, 1.0, kernel="gaussian",
+                               lambda_reg=0.0)
+        pred = rbf_global_predict(model, jnp.asarray(q_p[5]))
+        np.testing.assert_allclose(np.asarray(pred), q_s[5], atol=1e-6)
+
+    def test_generalizes(self):
+        q_p, q_s = smooth_data(n_train=200)
+        model = fit_global_rbf(q_p, q_s, 1.0, kernel="imq")
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-0.5, 0.5, size=3) * np.array([2.0, 1.0, 3.0])
+        a = np.sin  # recompute the target
+        q_p2, q_s2 = smooth_data(n_train=1, seed=0)
+        # evaluate the same smooth map at x
+        rngr = np.random.default_rng(0)
+        _ = rngr.uniform(-1, 1, size=(200, 3))
+        a_mat = rngr.normal(size=(3, 5))
+        target = np.sin(x @ a_mat) + 0.3 * (x**2) @ np.abs(a_mat)
+        pred = rbf_global_predict(model, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(pred), target, atol=0.05)
+
+
+class TestKNNRBF:
+    @pytest.mark.parametrize("kernel", ["gaussian", "imq", "multiquadric"])
+    def test_analytic_jacobian_matches_jacfwd(self, kernel):
+        q_p, q_s = smooth_data()
+        model = fit_knn_rbf(q_p, q_s, 0.8, neighbors=10, kernel=kernel)
+        y = jnp.asarray(q_p[3] + 0.02)
+        jac = rbf_knn_jacobian(model, y)
+        jac_ad = jax.jacfwd(lambda z: rbf_knn_predict(model, z))(y)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_knn_accuracy(self):
+        q_p, q_s = smooth_data(n_train=300)
+        model = fit_knn_rbf(q_p, q_s, 1.0, neighbors=25)
+        rng = np.random.default_rng(1)
+        rngr = np.random.default_rng(0)
+        _ = rngr.uniform(-1, 1, size=(300, 3))
+        a_mat = rngr.normal(size=(3, 5))
+        x = rng.uniform(-0.4, 0.4, size=3)
+        target = np.sin(x @ a_mat) + 0.3 * (x**2) @ np.abs(a_mat)
+        pred = rbf_knn_predict(model, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(pred), target, atol=0.1)
+
+    def test_vmappable(self):
+        q_p, q_s = smooth_data()
+        model = fit_knn_rbf(q_p, q_s, 0.8, neighbors=8)
+        ys = jnp.asarray(q_p[:6] + 0.01)
+        out = jax.vmap(lambda y: rbf_knn_predict(model, y))(ys)
+        assert out.shape == (6, 5)
+
+
+class TestGP:
+    def test_jacobian_matches_jacfwd(self):
+        q_p, q_s = smooth_data()
+        model = fit_gp(q_p, q_s, optimize=True, num_steps=50)
+        y = jnp.asarray(q_p[4] + 0.05)
+        jac = gp_jacobian(model, y)
+        jac_ad = jax.jacfwd(lambda z: gp_predict(model, z))(y)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_fit_quality(self):
+        q_p, q_s = smooth_data(n_train=150)
+        model = fit_gp(q_p, q_s, num_steps=300)
+        # near-interpolation at training points with tiny noise
+        pred = gp_predict(model, jnp.asarray(q_p[10]))
+        np.testing.assert_allclose(np.asarray(pred), q_s[10], atol=1e-3)
+
+    def test_hyperparameter_optimization_helps(self):
+        q_p, q_s = smooth_data(n_train=100)
+        m_opt = fit_gp(q_p, q_s, num_steps=300)
+        m_raw = fit_gp(q_p, q_s, optimize=False)
+        rngr = np.random.default_rng(0)
+        _ = rngr.uniform(-1, 1, size=(100, 3))
+        a_mat = rngr.normal(size=(3, 5))
+        x = np.array([0.3, -0.2, 0.5])
+        target = np.sin(x @ a_mat) + 0.3 * (x**2) @ np.abs(a_mat)
+        e_opt = np.linalg.norm(np.asarray(gp_predict(m_opt, jnp.asarray(x)))
+                               - target)
+        e_raw = np.linalg.norm(np.asarray(gp_predict(m_raw, jnp.asarray(x)))
+                               - target)
+        assert e_opt <= e_raw * 1.5  # optimized at least comparable
+
+
+class TestRNM:
+    def test_shapes_and_jacobian(self):
+        module, params = init_rnm(q1_size=4, q2_size=9)
+        clo = rnm_closure(module, params)
+        y = jnp.arange(4.0)
+        assert clo.predict(y).shape == (9,)
+        jac = clo.jacobian(y)
+        assert jac.shape == (9, 4)
+        # FD check of the jacfwd jacobian
+        eps = 1e-6
+        fd = (np.asarray(clo.predict(y + eps * jnp.eye(4)[0]))
+              - np.asarray(clo.predict(y))) / eps
+        np.testing.assert_allclose(np.asarray(jac[:, 0]), fd, atol=1e-5)
+
+
+class TestAE:
+    def test_roundtrip_shapes(self):
+        rng = np.random.default_rng(0)
+        mu = rng.normal(size=20)
+        sig = np.abs(rng.normal(size=20)) + 0.5
+        module, params = init_autoencoder(20, 3)
+        ae = ScaledAE(module=module, params=params,
+                      mu_in=jnp.asarray(mu), sig_in=jnp.asarray(sig))
+        decode, dec_jac, encode = ae_decoder_fns(ae)
+        w = jnp.asarray(rng.normal(size=20))
+        z = encode(w)
+        assert z.shape == (3,)
+        assert decode(z).shape == (20,)
+        assert dec_jac(z).shape == (20, 3)
+
+
+class TestManifoldROM:
+    def setup_problem(self, nx=10, ny=10, num_steps=20):
+        grid = Grid2D(nx=nx, ny=ny, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=nx, ny=ny)
+        w0 = np.ones(grid.state_dim)
+        s1 = oracle.implicit_trajectory(w0, [4.25, 0.0225], 0.05, num_steps,
+                                        ops, xc)
+        s2 = oracle.implicit_trajectory(w0, [5.5, 0.015], 0.05, num_steps,
+                                        ops, xc)
+        snaps = np.hstack((s1, s2))
+        return grid, ops, xc, w0, snaps
+
+    def test_linear_closure_equals_lspg(self):
+        grid, ops, xc, w0, snaps = self.setup_problem()
+        basis = np.asarray(pod(snaps, num_modes=8, method="svd")[0])
+        decode, dec_jac = manifold_decoder(basis, None, None)
+        y0 = jnp.asarray(basis.T @ w0)
+        res = manifold_rom(grid, y0, decode, dec_jac, 0.05, 10, 4.75, 0.02)
+        prom = lspg_prom(grid, jnp.asarray(w0), 0.05, 10, 4.75, 0.02,
+                         jnp.asarray(basis))
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(prom.red_coords),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_pod_rbf_global_rom(self):
+        """POD-RBF manifold ROM beats the linear PROM of the same primary
+        size at an out-of-sample point."""
+        grid, ops, xc, w0, snaps = self.setup_problem(num_steps=25)
+        u, s = pod(snaps, num_modes=20, method="svd")
+        n_p = 4
+        u_p, u_s = split_basis(np.asarray(u), n_p, 16)
+        q = np.asarray(u).T @ snaps        # (20, S)
+        q_p, q_s = q[:n_p].T, q[n_p:20].T
+        model = fit_global_rbf(q_p, q_s, 0.5, kernel="gaussian")
+        decode, dec_jac = manifold_decoder(u_p, u_s,
+                                           global_rbf_closure(model))
+        y0 = jnp.asarray(u_p.T @ w0)
+        steps = 25
+        res = manifold_rom(grid, y0, decode, dec_jac, 0.05, steps,
+                           4.75, 0.02)
+        rom_snaps = np.asarray(jax.vmap(decode, in_axes=1,
+                                        out_axes=1)(res.red_coords))
+        hdm = oracle.implicit_trajectory(w0, [4.75, 0.02], 0.05, steps,
+                                         ops, xc)
+        err_rbf = relative_error_pct(rom_snaps, hdm)
+
+        prom = lspg_prom(grid, jnp.asarray(w0), 0.05, steps, 4.75, 0.02,
+                         jnp.asarray(u_p))
+        err_lin = relative_error_pct(
+            np.asarray(u_p @ np.asarray(prom.red_coords)), hdm)
+        assert err_rbf < err_lin
+        assert err_rbf < 2.0
