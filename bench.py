@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: FOM timesteps/sec on the reference's fine grid (750x750,
+1.125M DoF, implicit CN + Newton), float64 — apples-to-apples with the
+baseline: the reference FOM runs 500 steps in ~2.44e4 s on a 24-thread
+CPU node = 0.0205 steps/s (BASELINE.md, BurgersFD_CleanFine logs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 0.0205   # reference 750^2 FOM (BASELINE.md)
+
+
+def _sync(x):
+    """Force materialization — on the axon TPU platform
+    block_until_ready can return early, so fetch a slice instead."""
+    return np.asarray(x)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+    from finitedifference_tpu.grid import Grid2D
+
+    n = int(os.environ.get("BENCH_CELLS", "750"))
+    warm_steps = int(os.environ.get("BENCH_WARM_STEPS", "5"))
+    meas_steps = int(os.environ.get("BENCH_MEAS_STEPS", "15"))
+    dt = 0.05
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev}, grid={n}x{n}, dtype=float64, "
+          f"{meas_steps} measured steps", file=sys.stderr)
+
+    grid = Grid2D(nx=n, ny=n, x_up=100.0, y_up=100.0)
+    w0 = jnp.ones(grid.state_dim, jnp.float64)
+
+    def run(mu1, steps):
+        r = inviscid_burgers_implicit2d(
+            grid, w0, dt, steps, mu1, 0.02, snaps_dtype=jnp.float32)
+        _sync(r.snaps[:4, -1])
+        return r
+
+    t0 = time.time()
+    run(4.75, warm_steps)
+    print(f"bench: warmup (compile) {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    r = run(4.76, meas_steps)
+    elapsed = time.time() - t0
+    rate = meas_steps / elapsed
+    its = int(r.total_newton_its)
+    print(f"bench: {meas_steps} steps in {elapsed:.2f}s, "
+          f"{its} Newton its ({its / meas_steps:.1f}/step)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"fom_timesteps_per_sec_{n}x{n}_f64",
+        "value": round(rate, 4),
+        "unit": "timesteps/s",
+        "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

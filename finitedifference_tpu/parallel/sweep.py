@@ -1,0 +1,80 @@
+"""Parameter sweeps over (mu1, mu2): vmap on one chip, sharded vmap on a
+device mesh.
+
+The reference runs its parameter studies serially (run_tests.py:38 loops
+over mu points, each a full Python time loop). Here the whole sweep is
+one compiled program: `vmap` of the jitted stepper over the mu batch,
+and for multi-chip the batch axis is sharded over the mesh's 'dp' axis so
+XLA splits the sweep across chips with zero communication (embarrassingly
+parallel — the BASELINE.md north-star workload).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.rom import lspg_prom
+
+
+def make_sweep_mesh(devices=None, axis_name: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _shard_batch(mus, mesh: Optional[Mesh], axis_name: str = "dp"):
+    mus = jnp.asarray(mus)
+    if mesh is None:
+        return mus
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(mus, sharding)
+
+
+def sweep_fom(grid: Grid2D, w0, dt, num_steps, mus, *,
+              mesh: Optional[Mesh] = None,
+              snaps_dtype=None, **kwargs):
+    """Batched FOM trajectories for a (B, 2) array of (mu1, mu2).
+
+    Returns snaps of shape (B, 2n, num_steps+1). With `mesh`, the batch
+    axis is sharded across devices (pad B to a multiple of the mesh size).
+    """
+    mus = _shard_batch(mus, mesh)
+    w0 = jnp.asarray(w0)
+
+    def run(mu):
+        return inviscid_burgers_implicit2d(
+            grid, w0, dt, num_steps, mu[0], mu[1],
+            snaps_dtype=snaps_dtype, **kwargs).snaps
+
+    return jax.vmap(run)(mus)
+
+
+def sweep_lspg(grid: Grid2D, w0, dt, num_steps, mus, basis, *,
+               mesh: Optional[Mesh] = None, **kwargs):
+    """Batched LSPG PROM: reduced coordinates (B, k, num_steps+1)."""
+    mus = _shard_batch(mus, mesh)
+    w0 = jnp.asarray(w0)
+    basis = jnp.asarray(basis)
+
+    def run(mu):
+        return lspg_prom(grid, w0, dt, num_steps, mu[0], mu[1], basis,
+                         **kwargs).red_coords
+
+    return jax.vmap(run)(mus)
+
+
+def pad_to_multiple(mus, multiple: int):
+    """Pad the batch with copies of the last row to a device-count multiple
+    (XLA requires equal shards). Returns (padded, original_count)."""
+    mus = np.asarray(mus)
+    b = mus.shape[0]
+    rem = (-b) % multiple
+    if rem:
+        mus = np.vstack([mus, np.repeat(mus[-1:], rem, axis=0)])
+    return mus, b

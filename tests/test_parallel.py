@@ -1,0 +1,132 @@
+"""Sharding tests on the 8-device virtual CPU mesh: sharded sweeps match
+single-device results; sharded spatial residual/step match dense ones."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+import oracle
+from finitedifference_tpu.fom import newton_step
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.ops.stencil import (
+    burgers_residual_flat,
+    inflow_bc_term,
+    source_term,
+)
+from finitedifference_tpu.parallel.spatial import (
+    make_sharded_residual,
+    sharded_fom_step,
+)
+from finitedifference_tpu.parallel.sweep import (
+    make_sweep_mesh,
+    pad_to_multiple,
+    sweep_fom,
+    sweep_lspg,
+)
+from finitedifference_tpu.pod import pod
+
+DT = 0.05
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+class TestSweep:
+    def test_sharded_fom_sweep_matches_unsharded(self, eight_devices):
+        grid = Grid2D(nx=8, ny=8, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        mus, b = pad_to_multiple(
+            np.array([[4.25, 0.015], [5.5, 0.03], [4.75, 0.02]]), 8)
+        mesh = make_sweep_mesh(eight_devices)
+        out_sharded = sweep_fom(grid, w0, DT, 5, mus, mesh=mesh)
+        out_plain = sweep_fom(grid, w0, DT, 5, mus)
+        np.testing.assert_allclose(np.asarray(out_sharded)[:b],
+                                   np.asarray(out_plain)[:b],
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_sharded_lspg_sweep(self, eight_devices):
+        grid = Grid2D(nx=8, ny=8, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=8, ny=8)
+        w0 = np.ones(grid.state_dim)
+        s = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, 10, ops, xc)
+        basis = np.asarray(pod(s, num_modes=6, method="svd")[0])
+        mus, b = pad_to_multiple(np.array([[4.5, 0.02], [5.0, 0.028]]), 8)
+        mesh = make_sweep_mesh(eight_devices)
+        red_sh = sweep_lspg(grid, jnp.asarray(w0), DT, 5, mus, basis,
+                            mesh=mesh)
+        red_pl = sweep_lspg(grid, jnp.asarray(w0), DT, 5, mus, basis)
+        np.testing.assert_allclose(np.asarray(red_sh)[:b],
+                                   np.asarray(red_pl)[:b],
+                                   rtol=1e-11, atol=1e-12)
+
+    def test_pad_to_multiple(self):
+        mus, b = pad_to_multiple(np.ones((3, 2)), 8)
+        assert mus.shape == (8, 2) and b == 3
+        mus, b = pad_to_multiple(np.ones((8, 2)), 8)
+        assert mus.shape == (8, 2)
+
+
+class TestSpatial:
+    def test_sharded_residual_matches_dense(self, eight_devices):
+        grid = Grid2D(nx=12, ny=16, x_up=100.0, y_up=100.0)
+        mesh = Mesh(np.asarray(eight_devices), ("sp",))
+        mu1, mu2 = 4.75, 0.02
+        rng = np.random.default_rng(0)
+        u = 1 + rng.uniform(size=(16, 12))
+        v = 1 + rng.uniform(size=(16, 12))
+        up = 1 + rng.uniform(size=(16, 12))
+        vp = 1 + rng.uniform(size=(16, 12))
+        src = source_term(grid, mu2, DT, dtype=jnp.float64)
+        lbc = inflow_bc_term(grid, mu1, DT, dtype=jnp.float64)
+
+        f = make_sharded_residual(mesh, grid, DT)
+        ru, rv = f(jnp.asarray(u), jnp.asarray(v), jnp.asarray(up),
+                   jnp.asarray(vp), src, lbc)
+        w = np.concatenate([u.ravel(), v.ravel()])
+        wp = np.concatenate([up.ravel(), vp.ravel()])
+        want = burgers_residual_flat(jnp.asarray(w), jnp.asarray(wp),
+                                     mu1, mu2, DT, grid)
+        got = np.concatenate([np.asarray(ru).ravel(),
+                              np.asarray(rv).ravel()])
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-13)
+
+    def test_sharded_step_matches_dense_newton(self, eight_devices):
+        grid = Grid2D(nx=8, ny=16, x_up=100.0, y_up=100.0)
+        mesh = Mesh(np.asarray(eight_devices), ("sp",))
+        mu1, mu2 = 4.75, 0.02
+        wp = jnp.ones(grid.state_dim)
+        dense = newton_step(wp, mu1, mu2, DT, grid)
+
+        step = sharded_fom_step(mesh, grid, DT, num_sweeps=24)
+        src = source_term(grid, mu2, DT, dtype=jnp.float64)
+        lbc = inflow_bc_term(grid, mu1, DT, dtype=jnp.float64)
+        up, vp = grid.split_fields(wp)
+        u, v = step(up, vp, src, lbc)
+        got = np.asarray(grid.merge_fields(u, v))
+        np.testing.assert_allclose(got, np.asarray(dense.w), rtol=1e-10,
+                                   atol=1e-11)
+
+    def test_multi_step_trajectory(self, eight_devices):
+        """March several sharded steps; compare against the oracle."""
+        grid = Grid2D(nx=8, ny=8, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=8, ny=8)
+        mesh = Mesh(np.asarray(eight_devices), ("sp",))
+        mu1, mu2 = 5.19, 0.026
+        step = sharded_fom_step(mesh, grid, DT, num_sweeps=16)
+        src = source_term(grid, mu2, DT, dtype=jnp.float64)
+        lbc = inflow_bc_term(grid, mu1, DT, dtype=jnp.float64)
+        u = jnp.ones((8, 8), jnp.float64)
+        v = jnp.ones((8, 8), jnp.float64)
+        for _ in range(5):
+            u, v = step(u, v, src, lbc)
+        got = np.asarray(grid.merge_fields(u, v))
+        want = oracle.implicit_trajectory(
+            np.ones(grid.state_dim), [mu1, mu2], DT, 5, ops, xc)[:, -1]
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
