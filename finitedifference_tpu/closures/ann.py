@@ -32,13 +32,24 @@ class RNM_NN(nn.Module):
 
 
 def rnm_closure(module: RNM_NN, params) -> Closure:
-    """Closure from a trained RNM network."""
-    predict = lambda y: module.apply(params, y)
+    """Closure from a trained RNM network.
+
+    The net runs in its own parameter dtype (float32 by default, like the
+    reference's torch nets) regardless of the solver dtype: inputs are
+    cast down, outputs cast back up, so an f64 Gauss-Newton never drags
+    the MLP into emulated-f64 math on TPU.
+    """
+    net_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+
+    def predict(y):
+        out = module.apply(params, y.astype(net_dtype))
+        return out.astype(y.dtype)
+
     jacobian = jax.jacfwd(predict)
     return Closure(predict=predict, jacobian=jacobian)
 
 
-def init_rnm(q1_size: int, q2_size: int, key=None, dtype=jnp.float64):
+def init_rnm(q1_size: int, q2_size: int, key=None, dtype=jnp.float32):
     """Create module + initial params."""
     if key is None:
         key = jax.random.PRNGKey(0)

@@ -67,24 +67,31 @@ class ScaledAE(NamedTuple):
     mu_in: jnp.ndarray    # (input_dim,)
     sig_in: jnp.ndarray   # (input_dim,)
 
+    @property
+    def net_dtype(self):
+        import jax
+        return jax.tree_util.tree_leaves(self.params)[0].dtype
+
     def forward(self, x):
-        xs = (x - self.mu_in) / self.sig_in
-        recon = self.module.apply(self.params, xs)
+        d = self.net_dtype
+        xs = ((x - self.mu_in) / self.sig_in).astype(d)
+        recon = self.module.apply(self.params, xs).astype(x.dtype)
         return recon * self.sig_in + self.mu_in
 
     def encode(self, x):
-        xs = (x - self.mu_in) / self.sig_in
+        d = self.net_dtype
+        xs = ((x - self.mu_in) / self.sig_in).astype(d)
         return self.module.apply(self.params, xs,
-                                 method=self.module.encode)
+                                 method=self.module.encode).astype(x.dtype)
 
     def decode(self, z):
-        recon = self.module.apply(self.params, z,
+        recon = self.module.apply(self.params, z.astype(self.net_dtype),
                                   method=self.module.decode)
-        return recon * self.sig_in + self.mu_in
+        return recon.astype(z.dtype) * self.sig_in + self.mu_in
 
 
 def init_autoencoder(input_dim: int, latent_dim: int, key=None,
-                     dtype=jnp.float64):
+                     dtype=jnp.float32):
     if key is None:
         key = jax.random.PRNGKey(0)
     module = Autoencoder(input_dim=input_dim, latent_dim=latent_dim)

@@ -35,6 +35,29 @@ def fit_minmax(data, feature_range=(-1.0, 1.0)) -> MinMaxScaler:
     return MinMaxScaler(scale_=jnp.asarray(scale), min_=jnp.asarray(minv))
 
 
+def run_on_host_cpu(fn, *args, **kwargs):
+    """Run an offline fit on the host CPU backend and return
+    device-neutral arrays.
+
+    Small dense f64 linear algebra (kernel-matrix SVDs, GP Cholesky
+    factorizations) is emulated and extremely slow on TPU; these fits are
+    offline, so they belong on the host. Outputs are detached from the
+    CPU device so downstream jitted TPU code can consume them freely.
+    """
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out = fn(*args, **kwargs)
+
+    def detach(x):
+        if isinstance(x, jax.Array):
+            return jnp.asarray(np.asarray(x))
+        return x
+
+    return jax.tree_util.tree_map(detach, out)
+
+
 class Closure(NamedTuple):
     """q_p -> q_s map with an explicit Jacobian.
 

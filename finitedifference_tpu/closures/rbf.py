@@ -85,9 +85,18 @@ KERNELS = {
 }
 
 
+def _get_kernel(kernel: str):
+    try:
+        return KERNELS[kernel]
+    except KeyError:
+        raise ValueError(
+            f"unknown RBF kernel {kernel!r}; valid: {sorted(KERNELS)}"
+        ) from None
+
+
 def kernel_matrix(xa, xb, eps, kernel: str = "gaussian"):
     """phi(||xa_i - xb_j||) for row sets xa (m,d), xb (n,d) -> (m,n)."""
-    phi, _ = KERNELS[kernel]
+    phi, _ = _get_kernel(kernel)
     d = jnp.linalg.norm(xa[:, None, :] - xb[None, :, :], axis=-1)
     return phi(d, eps)
 
@@ -109,7 +118,7 @@ class GlobalRBF(NamedTuple):
 def rbf_global_predict(model: GlobalRBF, y):
     """q_s(y) = phi(||scaler(y) - Q||) @ W  (reference
     interpolate_with_rbf_global_*, rbf_utils.py:1272-1610)."""
-    phi, _ = KERNELS[model.kernel]
+    phi, _ = _get_kernel(model.kernel)
     x = model.scaler.transform(y)
     r = jnp.linalg.norm(model.q_p_train - x[None, :], axis=1)
     return phi(r, model.epsilon) @ model.w_global
@@ -118,7 +127,7 @@ def rbf_global_predict(model: GlobalRBF, y):
 def rbf_global_jacobian(model: GlobalRBF, y):
     """Analytic d q_s / d y: W^T @ [phi'(r)/r * (x - Q)] * scaler.scale_
     (reference compute_rbf_jacobian_global_*, rbf_utils.py:675-1194)."""
-    _, dr_over_r = KERNELS[model.kernel]
+    _, dr_over_r = _get_kernel(model.kernel)
     x = model.scaler.transform(y)
     diff = x[None, :] - model.q_p_train          # (n_train, n_p)
     r = jnp.linalg.norm(diff, axis=1)
@@ -147,6 +156,7 @@ def fit_global_rbf(q_p_train, q_s_train, epsilon, kernel: str = "gaussian",
     """
     from finitedifference_tpu.closures.common import fit_minmax
 
+    _get_kernel(kernel)   # validate early
     q_p_train = jnp.asarray(q_p_train)
     q_s_train = jnp.asarray(q_s_train)
     if scaler is None:
@@ -182,10 +192,17 @@ def _knn_gather(model: KNNRBF, x):
 
 
 def _knn_local_weights(model: KNNRBF, xk, yk):
-    """Solve the local interpolation system Phi_k W = q_s_k."""
+    """Solve the local interpolation system Phi_k W = q_s_k.
+
+    QR-based solve: LU (jnp.linalg.solve) fails to compile in f64 on the
+    axon TPU backend, and QR handles the conditionally-PD kernels
+    (multiquadric/linear) that Cholesky cannot.
+    """
+    from finitedifference_tpu.solvers import lstsq_qr
+
     phi = kernel_matrix(xk, xk, model.epsilon, model.kernel)
     phi = phi + 1e-8 * jnp.eye(phi.shape[0], dtype=phi.dtype)
-    return jnp.linalg.solve(phi, yk)
+    return lstsq_qr(phi, yk)
 
 
 def rbf_knn_predict(model: KNNRBF, y):
@@ -195,7 +212,7 @@ def rbf_knn_predict(model: KNNRBF, y):
     x = model.scaler.transform(y)
     xk, yk = _knn_gather(model, x)
     w_loc = _knn_local_weights(model, xk, yk)
-    phi, _ = KERNELS[model.kernel]
+    phi, _ = _get_kernel(model.kernel)
     r = jnp.linalg.norm(xk - x[None, :], axis=1)
     return phi(r, model.epsilon) @ w_loc
 
@@ -203,7 +220,7 @@ def rbf_knn_predict(model: KNNRBF, y):
 def rbf_knn_jacobian(model: KNNRBF, y):
     """Analytic Jacobian holding the neighbor set fixed (reference
     compute_rbf_jacobian_nearest_neighbors_dynamic_*, rbf_utils.py:36-379)."""
-    _, dr_over_r = KERNELS[model.kernel]
+    _, dr_over_r = _get_kernel(model.kernel)
     x = model.scaler.transform(y)
     xk, yk = _knn_gather(model, x)
     w_loc = _knn_local_weights(model, xk, yk)
@@ -226,6 +243,7 @@ def fit_knn_rbf(q_p_train, q_s_train, epsilon, neighbors: int,
                 scaler: MinMaxScaler | None = None) -> KNNRBF:
     from finitedifference_tpu.closures.common import fit_minmax
 
+    _get_kernel(kernel)   # validate early
     q_p_train = jnp.asarray(q_p_train)
     if scaler is None:
         scaler = fit_minmax(np.asarray(q_p_train))

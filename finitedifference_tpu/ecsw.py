@@ -75,17 +75,19 @@ def ecsw_training_matrix_closure(grid: Grid2D, snaps, prev_snaps,
     snaps = np.asarray(snaps)
     prev_snaps = np.asarray(prev_snaps)
     n = grid.n_cells
-    rows = []
-    for isnap in range(snaps.shape[1]):
-        snap = snaps[:, isnap]
-        prev = prev_snaps[:, isnap]
-        y = fit_y0(jnp.asarray(snap))
+
+    @jax.jit
+    def one(snap, prev):
+        y = fit_y0(snap)
         w = decode(y)
         v = dec_jac(y, w)
-        f = burgers_residual_flat(w, jnp.asarray(prev), mu1, mu2, dt, grid)
+        f = burgers_residual_flat(w, prev, mu1, mu2, dt, grid)
         jv = jacobian_times_basis(w, v, dt, grid)
-        ci = (jv[:n] * f[:n, None] + jv[n:] * f[n:, None]).T
-        rows.append(np.asarray(ci))
+        return (jv[:n] * f[:n, None] + jv[n:] * f[n:, None]).T
+
+    rows = [np.asarray(one(jnp.asarray(snaps[:, i]),
+                           jnp.asarray(prev_snaps[:, i])))
+            for i in range(snaps.shape[1])]
     return np.vstack(rows)
 
 

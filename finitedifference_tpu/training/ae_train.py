@@ -60,10 +60,11 @@ def train_autoencoder(snaps_t, latent_dim: int, *, epochs: int = 500,
                       train_frac: float = 0.9, patience: int = 50,
                       seed: int = 1234557,
                       model_path: str = "autoencoder.msgpack",
+                      train_dtype="float32",
                       verbose: bool = False
                       ) -> Tuple[ScaledAE, TrainingMonitor]:
     """snaps_t: (n_samples, dim) rows. Returns (ScaledAE, monitor)."""
-    snaps_t = np.asarray(snaps_t)
+    snaps_t = np.asarray(snaps_t, dtype=np.dtype(train_dtype))
     mu = jnp.asarray(snaps_t.mean(axis=0))
     sig = jnp.asarray(snaps_t.std(axis=0) + 1e-10)
 

@@ -13,7 +13,13 @@ from finitedifference_tpu.training.rbf_train import remove_duplicates
 
 
 def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
-             dedup: bool = True, verbose: bool = False) -> GPModel:
+             dedup: bool = True, on_host: bool = True,
+             verbose: bool = False) -> GPModel:
+    if on_host:
+        from finitedifference_tpu.closures.common import run_on_host_cpu
+        return run_on_host_cpu(
+            train_gp, q_p, q_s, noise=noise, num_steps=num_steps,
+            dedup=dedup, on_host=False, verbose=verbose)
     q_p = np.asarray(q_p)
     q_s = np.asarray(q_s)
     if dedup:

@@ -57,9 +57,20 @@ def train_global_rbf(q_p, q_s, *,
                                                "multiquadric", "linear",
                                                "matern"),
                      train_frac: float = 0.8, seed: int = 1234557,
-                     dedup: bool = True,
+                     dedup: bool = True, on_host: bool = True,
                      verbose: bool = False) -> Tuple[GlobalRBF, dict]:
-    """Grid-search (epsilon x kernel), return (best model, search log)."""
+    """Grid-search (epsilon x kernel), return (best model, search log).
+
+    on_host=True (default) runs the small dense fits on the host CPU
+    backend — f64 kernel-matrix SVDs are emulated and ~100x slower on
+    TPU, and this stage is offline.
+    """
+    if on_host:
+        from finitedifference_tpu.closures.common import run_on_host_cpu
+        return run_on_host_cpu(
+            train_global_rbf, q_p, q_s, epsilons=epsilons, kernels=kernels,
+            train_frac=train_frac, seed=seed, dedup=dedup, on_host=False,
+            verbose=verbose)
     if epsilons is None:
         epsilons = np.logspace(-2, 1, 16)
     q_p = np.asarray(q_p)

@@ -79,6 +79,7 @@ def train_rnm(q_p, q_s, *, epochs: int = 2000, lr: float = 1e-3,
               patience: int = 100, seed: int = 1234557,
               model_path: str = "rnm_model.msgpack",
               plateau_patience: int = 50, plateau_factor: float = 0.5,
+              train_dtype="float32",
               verbose: bool = False) -> Tuple[RNM_NN, dict, TrainingMonitor]:
     """Train the RNM closure network. Returns (module, params, monitor)."""
     q_p = np.asarray(q_p)
@@ -87,8 +88,11 @@ def train_rnm(q_p, q_s, *, epochs: int = 2000, lr: float = 1e-3,
     perm = rng.permutation(q_p.shape[0])
     n_train = int(train_frac * q_p.shape[0])
     tr, va = perm[:n_train], perm[n_train:]
-    qp_tr, qs_tr = jnp.asarray(q_p[tr]), jnp.asarray(q_s[tr])
-    qp_va, qs_va = jnp.asarray(q_p[va]), jnp.asarray(q_s[va])
+    # float32 training (the reference trains its torch nets in float32;
+    # f64 MLP training on TPU is emulated and slow to compile/run)
+    td = np.dtype(train_dtype)
+    qp_tr, qs_tr = jnp.asarray(q_p[tr], td), jnp.asarray(q_s[tr], td)
+    qp_va, qs_va = jnp.asarray(q_p[va], td), jnp.asarray(q_s[va], td)
 
     module, params = init_rnm(q_p.shape[1], q_s.shape[1],
                               key=jax.random.PRNGKey(seed),

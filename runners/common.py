@@ -1,0 +1,217 @@
+"""Shared runner plumbing: env setup, basis build-or-load, reporting.
+
+The reference duplicates this block in every run_*.py (grid constants,
+basis.npy load, snapshot collection, final error print). Runners here
+are thin argparse CLIs over the library with the same artifact protocol:
+basis.npy, ecsw_weights_*.npy, *_snaps_mu1_X_mu2_Y.npy files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def setup_jax(f32: bool = False):
+    import jax
+
+    if not f32:
+        jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: repeated runner invocations (and the
+    # run_tests drivers) skip the multi-minute XLA compiles
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "fdtpu_jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def make_problem(cfg):
+    from finitedifference_tpu.grid import grid_from_config
+
+    grid = grid_from_config(cfg)
+    w0 = np.ones(grid.state_dim)
+    return grid, w0
+
+
+def default_config(num_cells: int | None = None, num_steps: int | None = None):
+    import dataclasses
+
+    from finitedifference_tpu.config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    if num_cells:
+        cfg = cfg.with_cells(num_cells)
+    if num_steps:
+        cfg = dataclasses.replace(cfg, num_steps=num_steps)
+    return cfg
+
+
+def get_or_build_basis(cfg, grid, w0, num_modes: int,
+                       path: str = "basis.npy", method: str = "rsvd",
+                       load_basis: bool = True):
+    """basis.npy protocol (reference run_prom.py:44-120): load if present,
+    else collect the 9 training trajectories, rSVD, save."""
+    from finitedifference_tpu.pod import pod
+    from finitedifference_tpu.snapshots import collect_snapshots
+
+    if load_basis and os.path.exists(path):
+        full = np.load(path, allow_pickle=True)
+        if full.shape[1] >= num_modes:
+            return full[:, :num_modes]
+        print(f"{path} has {full.shape[1]} modes < {num_modes}; rebuilding")
+
+    snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
+                              cfg.num_steps, snap_folder=cfg.snap_folder)
+    t0 = time.time()
+    basis, sigma = pod(snaps, num_modes=num_modes, method=method,
+                       random_state=cfg.seed)
+    print(f"POD ({method}, {num_modes} modes): {time.time() - t0:.3e} s")
+    basis = np.asarray(basis)
+    np.save(path, basis)
+    np.save(path.replace("basis", "sigma"), np.asarray(sigma))
+    return basis
+
+
+def report(name: str, rom_snaps, hdm_snaps, elapsed: float, mu,
+           save_prefix: str | None = None):
+    """Final error print + snapshot save, mirroring every reference
+    runner's epilogue (e.g. run_prom.py:104-126)."""
+    from finitedifference_tpu.snapshots import relative_error_pct
+
+    rel = relative_error_pct(np.asarray(rom_snaps), np.asarray(hdm_snaps))
+    print(f"Elapsed {name} time: {elapsed:.3e} s")
+    print(f"Relative error: {rel:.2f}%")
+    if save_prefix:
+        fn = f"{save_prefix}_snaps_mu1_{mu[0]:.2f}_mu2_{mu[1]:.3f}.npy"
+        np.save(fn, np.asarray(rom_snaps))
+        print(f"Snapshot saved as {fn}")
+    return elapsed, rel
+
+
+def sync(x):
+    """Force device->host materialization (axon block_until_ready can
+    return early)."""
+    return np.asarray(x)
+
+
+def split_training(cfg, grid, w0, num_total: int, num_primary: int,
+                   num_secondary: int | None = None, basis_path="basis.npy"):
+    """POD split + projected training pairs for all closure ROMs.
+
+    Returns (u_p, u_s, q_p, q_s): primary/secondary POD blocks and the
+    (n_samples, n_p)/(n_samples, n_s) regression pairs (the shared
+    offline recipe of train_reduced_manifold_autoencoder.py:86-219,
+    POD-RBF_global/compute_global_weights_*.py and POD-GP/train_gp.py).
+    """
+    from finitedifference_tpu.pod import split_basis
+    from finitedifference_tpu.snapshots import collect_snapshots
+    from finitedifference_tpu.training.rnm_train import project_snapshots
+
+    basis = get_or_build_basis(cfg, grid, w0, num_total, path=basis_path)
+    u_p, u_s = split_basis(basis, num_primary, num_secondary)
+    snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
+                              cfg.num_steps, snap_folder=cfg.snap_folder)
+    q_p, q_s = project_snapshots(basis, snaps.T, num_primary,
+                                 num_secondary)
+    return np.asarray(u_p), np.asarray(u_s), q_p, q_s
+
+
+def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
+                 f32=False, weights_full=None, label="ROM",
+                 save_prefix=None):
+    """Online manifold-ROM run (full or hyper-reduced) + report."""
+    import jax
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.closures.common import manifold_decoder
+    from finitedifference_tpu.ops.sampled import (
+        augmented_state_indices,
+        build_sampled_mesh,
+    )
+    from finitedifference_tpu.rom import manifold_rom
+    from finitedifference_tpu.snapshots import load_or_compute_snaps
+
+    dtype = jnp.float32 if f32 else jnp.float64
+    decode_full, _ = manifold_decoder(u_p.astype(dtype if f32 else u_p.dtype),
+                                      u_s, closure)
+    y0 = jnp.asarray(u_p.T @ w0, dtype)
+
+    t0 = time.time()
+    if weights_full is None:
+        decode, dec_jac = manifold_decoder(u_p, u_s, closure)
+        res = manifold_rom(grid, y0, decode, dec_jac, cfg.dt,
+                           cfg.num_steps, mu1, mu2)
+    else:
+        sample_inds = np.where(weights_full != 0)[0]
+        mesh = build_sampled_mesh(grid, sample_inds)
+        idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
+        dec_s, jac_s = manifold_decoder(u_p[idx], u_s[idx], closure)
+        res = manifold_rom(grid, y0, dec_s, jac_s, cfg.dt, cfg.num_steps,
+                           mu1, mu2, mesh=mesh,
+                           sample_weights=jnp.asarray(
+                               weights_full[sample_inds], dtype))
+        decode, _ = manifold_decoder(u_p, u_s, closure)
+    rom_snaps = sync(jax.vmap(decode_full, in_axes=1,
+                              out_axes=1)(res.red_coords))
+    elapsed = time.time() - t0
+    print(f"Total GN iterations: {int(res.total_gn_its)}")
+
+    hdm = load_or_compute_snaps([mu1, mu2], grid, w0, cfg.dt,
+                                cfg.num_steps, snap_folder=cfg.snap_folder)
+    return report(label, rom_snaps, hdm, elapsed, (mu1, mu2),
+                  save_prefix=save_prefix)
+
+
+def closure_ecsw_weights(cfg, grid, w0, u_p, u_s, closure, *,
+                         weights_path, method="nnls", bc_w=10.0,
+                         mu_train=(4.25, 0.0225), compute=False):
+    """Compute-or-load ECSW weights for a nonlinear-closure ROM
+    (reference compute_ECSW_training_matrix_2D_{rnm,rbf_*,gp} + runner
+    NNLS/ECM recipes)."""
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.closures.common import manifold_decoder
+    from finitedifference_tpu.ecsw import (
+        compute_ecsw_weights,
+        ecsw_training_matrix_closure,
+    )
+    from finitedifference_tpu.snapshots import load_or_compute_snaps
+
+    if not compute and os.path.exists(weights_path):
+        return np.load(weights_path)
+
+    decode, dec_jac = manifold_decoder(u_p, u_s, closure)
+    fit_y0 = lambda snap: jnp.asarray(u_p.T) @ snap
+    snaps = load_or_compute_snaps(list(mu_train), grid, w0, cfg.dt,
+                                  cfg.num_steps,
+                                  snap_folder=cfg.snap_folder)
+    t = cfg.num_steps
+    c = ecsw_training_matrix_closure(
+        grid, snaps[:, 3:t:10], snaps[:, 0:t - 3:10], decode, dec_jac,
+        fit_y0, mu_train[0], mu_train[1], cfg.dt)
+    weights = compute_ecsw_weights(c, grid, bc_w=bc_w, method=method,
+                                   rel_err_thresh=1e-4)
+    np.save(weights_path, weights)
+    return weights
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--mu1", type=float, default=5.19)
+    p.add_argument("--mu2", type=float, default=0.026)
+    p.add_argument("--num-cells", type=int, default=None)
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--f32", action="store_true",
+                   help="run in float32 (faster on TPU, ~1e-7 accuracy)")
+    return p

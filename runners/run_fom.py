@@ -1,0 +1,41 @@
+"""FOM snapshot generation at one (mu1, mu2) (reference run_fom.py)."""
+
+import time
+
+import numpy as np
+
+from common import base_parser, default_config, make_problem, report, \
+    setup_jax, sync
+
+
+def main(mu1=4.75, mu2=0.02, num_cells=None, num_steps=None, f32=False):
+    setup_jax(f32)
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+    from finitedifference_tpu.snapshots import param_to_snap_fn
+
+    cfg = default_config(num_cells, num_steps)
+    grid, w0 = make_problem(cfg)
+    dtype = jnp.float32 if f32 else jnp.float64
+
+    t0 = time.time()
+    res = inviscid_burgers_implicit2d(
+        grid, jnp.asarray(w0, dtype), cfg.dt, cfg.num_steps, mu1, mu2)
+    snaps = sync(res.snaps)
+    elapsed = time.time() - t0
+    rate = cfg.num_steps / elapsed
+    print(f"Elapsed FOM time: {elapsed:.3e} s "
+          f"({rate:.2f} timesteps/s, {int(res.total_newton_its)} Newton its)")
+
+    fn = param_to_snap_fn([mu1, mu2], snap_folder=cfg.snap_folder)
+    import os
+    os.makedirs(cfg.snap_folder, exist_ok=True)
+    np.save(fn, snaps)
+    print(f"Saved {fn}")
+    return elapsed, 0.0
+
+
+if __name__ == "__main__":
+    args = base_parser(__doc__).parse_args()
+    main(args.mu1, args.mu2, args.num_cells, args.num_steps, args.f32)

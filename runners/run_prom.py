@@ -1,0 +1,50 @@
+"""LSPG PROM with a global POD basis (reference run_prom.py):
+95-mode rSVD basis from the 9 training trajectories, Gauss-Newton LSPG
+at an out-of-sample (mu1, mu2), error vs the cached FOM."""
+
+import time
+
+import numpy as np
+
+from common import base_parser, default_config, get_or_build_basis, \
+    make_problem, report, setup_jax, sync
+
+
+def main(mu1=4.75, mu2=0.02, num_modes=95, load_basis=True,
+         num_cells=None, num_steps=None, f32=False):
+    setup_jax(f32)
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.rom import lspg_prom, reconstruct
+    from finitedifference_tpu.snapshots import load_or_compute_snaps
+
+    cfg = default_config(num_cells, num_steps)
+    grid, w0 = make_problem(cfg)
+    dtype = jnp.float32 if f32 else jnp.float64
+
+    basis = get_or_build_basis(cfg, grid, w0, num_modes,
+                               load_basis=load_basis)
+    print(f"Running ROM of size {num_modes} for mu1={mu1}, mu2={mu2}")
+
+    t0 = time.time()
+    res = lspg_prom(grid, jnp.asarray(w0, dtype), cfg.dt, cfg.num_steps,
+                    mu1, mu2, jnp.asarray(basis, dtype))
+    rom_snaps = sync(reconstruct(basis.astype(np.float32 if f32
+                                              else np.float64),
+                                 res.red_coords))
+    elapsed = time.time() - t0
+    print(f"Total GN iterations: {int(res.total_gn_its)}")
+
+    hdm = load_or_compute_snaps([mu1, mu2], grid, w0, cfg.dt,
+                                cfg.num_steps, snap_folder=cfg.snap_folder)
+    return report("ROM", rom_snaps, hdm, elapsed, (mu1, mu2),
+                  save_prefix="rom")
+
+
+if __name__ == "__main__":
+    p = base_parser(__doc__)
+    p.add_argument("--num-modes", type=int, default=95)
+    p.add_argument("--no-load-basis", action="store_true")
+    a = p.parse_args()
+    main(a.mu1, a.mu2, a.num_modes, not a.no_load_basis,
+         a.num_cells, a.num_steps, a.f32)

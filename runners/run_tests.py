@@ -1,0 +1,90 @@
+"""Regression/benchmark driver over the 3 canonical test points
+(reference run_tests.py: FOM + PROM-family at (5.19,0.026), (4.56,0.019),
+(4.75,0.02), accumulated into rom_results.npz, skip-if-done)."""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from common import default_config, make_problem, setup_jax, sync
+
+TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
+
+
+def run_fom_point(cfg, grid, w0, mu):
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.snapshots import (
+        load_or_compute_snaps,
+        param_to_snap_fn,
+    )
+
+    fn = param_to_snap_fn(list(mu), snap_folder=cfg.snap_folder)
+    cached = os.path.exists(fn)
+    t0 = time.time()
+    load_or_compute_snaps(list(mu), grid, w0, cfg.dt, cfg.num_steps,
+                          snap_folder=cfg.snap_folder)
+    elapsed = time.time() - t0
+    return elapsed if not cached else np.nan
+
+
+def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
+         out="rom_results.npz", num_cells=None, num_steps=None,
+         f32=False):
+    setup_jax(f32)
+    cfg = default_config(num_cells, num_steps)
+    grid, w0 = make_problem(cfg)
+
+    import run_pod_rbf
+    import run_pod_rbf_global
+    import run_prom
+    import run_rnm
+
+    runner_by_name = {
+        "prom": lambda mu: run_prom.main(
+            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
+            f32=f32),
+        "rnm": lambda mu: run_rnm.main(
+            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
+            f32=f32),
+        "pod_rbf": lambda mu: run_pod_rbf.main(
+            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
+            f32=f32),
+        "pod_rbf_global": lambda mu: run_pod_rbf_global.main(
+            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
+            f32=f32),
+    }
+
+    results = dict(np.load(out, allow_pickle=True)) \
+        if os.path.exists(out) else {}
+    for mu in TEST_POINTS:
+        key_fom = f"fom_{mu[0]}_{mu[1]}"
+        if key_fom not in results:
+            results[key_fom] = np.array(
+                [run_fom_point(cfg, grid, w0, mu), 0.0])
+            np.savez(out, **results)
+        for name in models:
+            key = f"{name}_{mu[0]}_{mu[1]}"
+            if key in results:
+                print(f"skipping {key} (done)")
+                continue
+            print(f"=== {name} at mu = {mu} ===")
+            elapsed, err = runner_by_name[name](mu)
+            results[key] = np.array([elapsed, err])
+            np.savez(out, **results)
+    print(f"results accumulated in {out}")
+    return results
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--models", nargs="+",
+                   default=["prom", "rnm", "pod_rbf", "pod_rbf_global"])
+    p.add_argument("--out", default="rom_results.npz")
+    p.add_argument("--num-cells", type=int, default=None)
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--f32", action="store_true")
+    a = p.parse_args()
+    main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32)

@@ -166,6 +166,9 @@ class TestGP:
 class TestRNM:
     def test_shapes_and_jacobian(self):
         module, params = init_rnm(q1_size=4, q2_size=9)
+        # flax params default to f32; cast up for a strict FD check
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64), params)
         clo = rnm_closure(module, params)
         y = jnp.arange(4.0)
         assert clo.predict(y).shape == (9,)
