@@ -316,6 +316,47 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
     return full
 
 
+def sequential_nnls_weights(C, grid: Grid2D, batch_size: int = 5000,
+                            bc_w: float = 50.0,
+                            rel_err_thresh: float = 0.0,
+                            verbose: bool = False) -> np.ndarray:
+    """Sequential batched NNLS over column blocks (role of the fine
+    variant run_HRNM_ecsw_joshua_sequential.py:168-195): solve NNLS on
+    each interior column batch against the *running* target residual so
+    the accumulated solution covers the full assembly, then finish with
+    a cleanup solve on the accumulated support."""
+    C = np.asarray(C)
+    ny, nx = grid.ny, grid.nx
+    interior = np.zeros((ny, nx), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    flat_interior = np.where(interior.ravel())[0]
+    Ci = C[:, flat_interior]
+
+    d_full = Ci.sum(axis=1)
+    resid = d_full.copy()
+    w_int = np.zeros(Ci.shape[1])
+    for start in range(0, Ci.shape[1], batch_size):
+        blk = slice(start, min(start + batch_size, Ci.shape[1]))
+        wb, _, _ = nnls(Ci[:, blk], resid, rel_err_thresh=rel_err_thresh)
+        w_int[blk] = wb
+        resid = d_full - Ci @ w_int
+        if verbose:
+            print(f"  seq-nnls block {start}: support "
+                  f"{(w_int > 0).sum()}, rel "
+                  f"{np.linalg.norm(resid) / np.linalg.norm(d_full):.3e}")
+
+    support = np.where(w_int > 0)[0]
+    if support.size:
+        w2, _, _ = nnls(Ci[:, support], d_full,
+                        rel_err_thresh=rel_err_thresh)
+        w_int[:] = 0.0
+        w_int[support] = w2
+
+    full = np.full(ny * nx, float(bc_w))
+    full[interior.ravel()] = w_int
+    return full
+
+
 def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
                             bc_w: float = 50.0,
                             rel_err_thresh: float = 0.0,

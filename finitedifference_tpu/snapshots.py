@@ -58,12 +58,35 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
 
 
 def collect_snapshots(mu_list, grid: Grid2D, w0, dt, num_steps,
-                      snap_folder: str = "param_snaps") -> np.ndarray:
-    """Stack snapshot matrices for a list of mu points -> (2n, T+1 * len)."""
+                      snap_folder: str = "param_snaps",
+                      allow_missing: bool = False) -> np.ndarray:
+    """Stack snapshot matrices for a list of mu points -> (2n, T+1 * len).
+
+    allow_missing=True tolerates absent cached snapshots instead of
+    computing them: the point is logged to missing_snapshots.log and
+    skipped, trimming the matrix (the reference trainers' behavior when
+    data is incomplete, compute_global_weights_*:117-178).
+    """
+    import logging
+
     cols = []
     for mu in mu_list:
+        if allow_missing:
+            fn = param_to_snap_fn(mu, snap_folder=snap_folder)
+            if not os.path.exists(fn):
+                logger = logging.getLogger("finitedifference_tpu.snapshots")
+                if not logger.handlers:
+                    logger.addHandler(
+                        logging.FileHandler("missing_snapshots.log"))
+                    logger.setLevel(logging.WARNING)
+                logger.warning("missing snapshot for mu=%s (%s)", mu, fn)
+                print(f"warning: missing snapshot for mu={mu}; skipping")
+                continue
         cols.append(load_or_compute_snaps(mu, grid, w0, dt, num_steps,
                                           snap_folder=snap_folder))
+    if not cols:
+        raise FileNotFoundError(
+            f"no snapshots available in {snap_folder} for {mu_list}")
     return np.hstack(cols)
 
 

@@ -115,6 +115,231 @@ def train_global_rbf(q_p, q_s, *,
     return model, log
 
 
+def train_global_rbf_bayesian(q_p, q_s, *, kernel: str = "gaussian",
+                              n_iters: int = 20, n_seed: int = 5,
+                              log_eps_bounds=(-4.0, 2.0),
+                              train_frac: float = 0.8, seed: int = 1234557,
+                              dedup: bool = True, on_host: bool = True,
+                              verbose: bool = False):
+    """Bayesian optimization of epsilon (role of the reference's
+    compute_global_weights_bayesian_optimization_with_kernels.py, which
+    uses skopt). Here: GP-expected-improvement over log10(epsilon) using
+    this package's own Matérn-3/2 GP — no external optimizer.
+    """
+    if on_host:
+        from finitedifference_tpu.closures.common import run_on_host_cpu
+        return run_on_host_cpu(
+            train_global_rbf_bayesian, q_p, q_s, kernel=kernel,
+            n_iters=n_iters, n_seed=n_seed, log_eps_bounds=log_eps_bounds,
+            train_frac=train_frac, seed=seed, dedup=dedup, on_host=False,
+            verbose=verbose)
+
+    from scipy.stats import norm as _norm
+
+    from finitedifference_tpu.closures.gp import fit_gp, gp_predict, matern32
+
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    if dedup:
+        q_p, q_s = remove_duplicates(q_p, q_s)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(q_p.shape[0])
+    n_tr = int(train_frac * q_p.shape[0])
+    tr, va = perm[:n_tr], perm[n_tr:]
+    scaler = fit_minmax(q_p[tr])
+    qp_tr, qs_tr = jnp.asarray(q_p[tr]), jnp.asarray(q_s[tr])
+    qp_va, qs_va = jnp.asarray(q_p[va]), jnp.asarray(q_s[va])
+
+    errf = jax.jit(lambda e: _val_error(qp_tr, qs_tr, qp_va, qs_va, e,
+                                        kernel, scaler))
+    lo, hi = log_eps_bounds
+    xs = list(np.linspace(lo, hi, n_seed))
+    ys = [float(jnp.log(errf(10.0 ** x) + 1e-300)) for x in xs]
+
+    for it in range(n_iters - n_seed):
+        gp = fit_gp(np.asarray(xs)[:, None], np.asarray(ys)[:, None],
+                    noise=1e-6, num_steps=100)
+        cand = np.linspace(lo, hi, 256)
+        best = min(ys)
+        # expected improvement from the GP posterior
+        kv = np.asarray(matern32(gp.x_train,
+                                 gp.scaler.transform(
+                                     jnp.asarray(cand)[:, None]),
+                                 gp.length_scale, gp.amplitude))  # (n, 256)
+        mu_c = np.asarray(
+            [float(gp_predict(gp, jnp.asarray([c]))[0]) for c in cand])
+        # posterior variance (cheap full form: k** - k*^T K^-1 k*)
+        kmat = np.asarray(matern32(gp.x_train, gp.x_train,
+                                   gp.length_scale, gp.amplitude))
+        kinv = np.linalg.inv(kmat + gp.noise * np.eye(kmat.shape[0]))
+        var = np.maximum(float(gp.amplitude)
+                         - np.einsum("ic,ij,jc->c", kv, kinv, kv), 1e-12)
+        sd = np.sqrt(var)
+        z = (best - mu_c) / sd
+        ei = (best - mu_c) * _norm.cdf(z) + sd * _norm.pdf(z)
+        x_next = float(cand[int(np.argmax(ei))])
+        if any(abs(x_next - x) < 1e-9 for x in xs):
+            x_next = float(rng.uniform(lo, hi))
+        xs.append(x_next)
+        ys.append(float(jnp.log(errf(10.0 ** x_next) + 1e-300)))
+        if verbose:
+            print(f"  bayes it {it}: log10(eps)={x_next:.3f} "
+                  f"log(err)={ys[-1]:.3f}")
+
+    eps_best = 10.0 ** xs[int(np.argmin(ys))]
+    model = fit_global_rbf(q_p, q_s, eps_best, kernel=kernel,
+                           scaler=fit_minmax(q_p))
+    log = {"best": {"epsilon": float(eps_best), "kernel": kernel,
+                    "val_error": float(np.exp(min(ys)))},
+           "history": {"log10_eps": xs, "log_err": ys}}
+    return model, log
+
+
+def fit_global_rbf_anisotropic(q_p, q_s, *, kernel: str = "gaussian",
+                               num_steps: int = 300, lr: float = 0.05,
+                               train_frac: float = 0.8,
+                               seed: int = 1234557, dedup: bool = True,
+                               on_host: bool = True,
+                               verbose: bool = False):
+    """Anisotropic global RBF: per-dimension inverse length scales,
+    fine-tuned by gradient descent on the validation error (role of the
+    fine variant perform_training_bayesian_optimization_anisotropic_
+    fine_tuned.py, which optimizes per-dim scales). Returns a GlobalRBF
+    whose q_p_train is pre-multiplied by the learned scales and whose
+    scaler chain absorbs them, so the standard predict/jacobian apply.
+    """
+    if on_host:
+        from finitedifference_tpu.closures.common import run_on_host_cpu
+        return run_on_host_cpu(
+            fit_global_rbf_anisotropic, q_p, q_s, kernel=kernel,
+            num_steps=num_steps, lr=lr, train_frac=train_frac, seed=seed,
+            dedup=dedup, on_host=False, verbose=verbose)
+
+    import optax
+
+    from finitedifference_tpu.closures.common import MinMaxScaler
+
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    if dedup:
+        q_p, q_s = remove_duplicates(q_p, q_s)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(q_p.shape[0])
+    n_tr = int(train_frac * q_p.shape[0])
+    tr, va = perm[:n_tr], perm[n_tr:]
+    base = fit_minmax(q_p[tr])
+    qp_tr, qs_tr = jnp.asarray(q_p[tr]), jnp.asarray(q_s[tr])
+    qp_va, qs_va = jnp.asarray(q_p[va]), jnp.asarray(q_s[va])
+
+    dim = q_p.shape[1]
+
+    def val_err(log_scales):
+        # differentiable variant of _val_error: ridge + LU solve instead
+        # of the truncated SVD (SVD gradients NaN on near-degenerate
+        # spectra). Host-CPU only (LU f64 unsupported on axon TPU).
+        from finitedifference_tpu.closures.rbf import _get_kernel
+
+        phi_fn, _ = _get_kernel(kernel)
+        scales = jnp.exp(log_scales)
+        sc = MinMaxScaler(scale_=base.scale_ * scales,
+                          min_=base.min_ * scales)
+        qn_tr = sc.transform(qp_tr)
+        qn_va = sc.transform(qp_va)
+
+        def kmat(xa, xb):
+            # smoothed distance: d/dx ||x|| is NaN at 0 (the Gram
+            # diagonal), so keep a tiny floor under the sqrt
+            d2 = jnp.sum((xa[:, None, :] - xb[None, :, :]) ** 2, axis=-1)
+            return phi_fn(jnp.sqrt(d2 + 1e-300), 1.0)
+
+        phi = kmat(qn_tr, qn_tr)
+        phi = phi + 1e-8 * jnp.eye(phi.shape[0], dtype=phi.dtype)
+        w = jnp.linalg.solve(phi, qs_tr)
+        pred = kmat(qn_va, qn_tr) @ w
+        return jnp.linalg.norm(pred - qs_va) / jnp.linalg.norm(qs_va)
+
+    params = jnp.zeros(dim)
+    opt = optax.adam(lr)
+    state = opt.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(val_err))
+    for i in range(num_steps):
+        err, g = grad_fn(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+        if verbose and i % 50 == 0:
+            print(f"  aniso it {i}: val err {float(err):.3e} "
+                  f"scales {np.exp(np.asarray(params)).round(3)}")
+
+    scales = jnp.exp(params)
+    scaler = MinMaxScaler(scale_=base.scale_ * scales,
+                          min_=base.min_ * scales)
+    model = fit_global_rbf(q_p, q_s, 1.0, kernel=kernel, scaler=scaler)
+    return model, {"scales": np.exp(np.asarray(params)).tolist(),
+                   "val_error": float(val_err(params))}
+
+
+def train_svr(q_p, q_s, *, c_grid=(0.1, 1.0, 10.0, 100.0),
+              epsilon: float = 1e-3, gamma: str | float = "scale",
+              train_frac: float = 0.8, seed: int = 1234557,
+              verbose: bool = False):
+    """SVR alternative to the RBF weights (role of the fine variant
+    compute_global_svr_grid_search_with_kernels.py, sklearn SVR with a
+    grid over C). Fits one RBF-kernel SVR per secondary mode on the host,
+    then exports the support vectors / dual coefficients into a JAX
+    closure: pred_j(x) = sum_i alpha_ij exp(-gamma ||x - sv_i||^2) + b_j.
+    """
+    from sklearn.svm import SVR
+
+    from finitedifference_tpu.closures.common import Closure, fit_minmax
+
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(q_p.shape[0])
+    n_tr = int(train_frac * q_p.shape[0])
+    tr, va = perm[:n_tr], perm[n_tr:]
+    scaler = fit_minmax(q_p[tr])
+    xtr = np.asarray(scaler.transform(jnp.asarray(q_p[tr])))
+    xva = np.asarray(scaler.transform(jnp.asarray(q_p[va])))
+
+    best = (np.inf, None)
+    for c in c_grid:
+        models = [SVR(kernel="rbf", C=c, epsilon=epsilon, gamma=gamma)
+                  .fit(xtr, q_s[tr][:, j]) for j in range(q_s.shape[1])]
+        pred = np.stack([m.predict(xva) for m in models], axis=1)
+        err = np.linalg.norm(pred - q_s[va]) / np.linalg.norm(q_s[va])
+        if verbose:
+            print(f"  svr C={c}: val err {err:.3e}")
+        if err < best[0]:
+            best = (err, models)
+    models = best[1]
+
+    gma = models[0]._gamma if hasattr(models[0], "_gamma") else \
+        models[0].gamma
+    # export to a jax closure: pad support sets to a common size
+    svs = [m.support_vectors_ for m in models]
+    duals = [m.dual_coef_[0] for m in models]
+    bs = jnp.asarray([float(m.intercept_[0]) for m in models])
+    n_max = max(s.shape[0] for s in svs)
+    sv_pad = np.zeros((len(models), n_max, q_p.shape[1]))
+    du_pad = np.zeros((len(models), n_max))
+    for j, (s, d) in enumerate(zip(svs, duals)):
+        sv_pad[j, :s.shape[0]] = s
+        du_pad[j, :d.shape[0]] = d
+    sv_pad = jnp.asarray(sv_pad)
+    du_pad = jnp.asarray(du_pad)
+    gma = jnp.asarray(float(gma))
+
+    def predict(y):
+        x = scaler.transform(y)
+        d2 = jnp.sum((sv_pad - x[None, None, :]) ** 2, axis=-1)
+        return jnp.sum(du_pad * jnp.exp(-gma * d2), axis=1) + bs
+
+    jacobian = jax.jacfwd(predict)
+    return Closure(predict=predict, jacobian=jacobian), \
+        {"val_error": float(best[0]), "gamma": float(gma)}
+
+
 def save_global_rbf(model: GlobalRBF, path: str) -> None:
     """Persist as an .npz with the same logical content as the reference's
     pod_rbf_global_model/{global_weights.pkl, scaler.pkl}."""
