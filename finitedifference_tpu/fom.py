@@ -145,6 +145,113 @@ def inviscid_burgers_implicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2,
     return FOMResult(snaps=snaps, total_newton_its=total_its)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "grid", "num_steps", "max_its", "use_pallas",
+                     "solve_dtype", "snaps_dtype", "block"),
+)
+def inviscid_burgers_implicit2d_skewed(
+        grid: Grid2D, w0, dt, num_steps, mu1, mu2, *,
+        max_its: int = 100, relnorm_cutoff: float | None = None,
+        use_pallas: bool | None = None, solve_dtype=None,
+        snaps_dtype=None, block: int = 128) -> FOMResult:
+    """Fast implicit FOM: the whole integration in skewed coordinates.
+
+    The triangular solve consumes the state directly (no per-iteration
+    skew gathers — those cost ~25x the solve kernel); on TPU the solve is
+    the single-kernel Pallas wavefront. `solve_dtype=float32` with an f64
+    state gives mixed-precision inexact Newton: f64 residuals/updates,
+    f32 solves — reference-grade trajectories at f32-solve speed.
+
+    Semantics match inviscid_burgers_implicit2d (same stopping rules);
+    returns unskewed snapshots.
+    """
+    from finitedifference_tpu.ops import skewed as sk
+    from finitedifference_tpu.ops.pallas_wavefront import (
+        solve_skewed_pallas,
+    )
+
+    w0 = jnp.asarray(w0)
+    dtype = w0.dtype
+    if relnorm_cutoff is None:
+        relnorm_cutoff = 1e-12 if dtype == jnp.float64 else 1e-6
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    sd = snaps_dtype or dtype
+
+    lay = sk.make_layout(grid, block=block)
+    valid = sk.valid_mask(lay, dtype)
+    src_sk = sk.skewed_source(lay, grid, mu2, dt, dtype)
+    lbc_sk = sk.skewed_inflow_bc(lay, grid, mu1, dt, dtype)
+
+    u0, v0 = grid.split_fields(w0)
+    su0 = sk.to_skewed(u0, lay)
+    sv0 = sk.to_skewed(v0, lay)
+
+    def res(u, v, up, vp):
+        return sk.skewed_residual(u, v, up, vp, dt, grid, lay,
+                                  src_sk, lbc_sk, valid)
+
+    def solve(u, v, ru, rv):
+        if use_pallas:
+            du, dv = solve_skewed_pallas(
+                u.astype(jnp.float32) if solve_dtype is None else
+                u.astype(solve_dtype),
+                v.astype(jnp.float32), ru.astype(jnp.float32),
+                rv.astype(jnp.float32), dt, grid, lay, block=block)
+        else:
+            ud = u if solve_dtype is None else u.astype(solve_dtype)
+            du, dv = sk.solve_skewed_lax(
+                ud, v.astype(ud.dtype), ru.astype(ud.dtype),
+                rv.astype(ud.dtype), dt, grid, lay)
+        return du.astype(dtype), dv.astype(dtype)
+
+    def norm2(ru, rv):
+        return jnp.sqrt(jnp.sum(ru * ru) + jnp.sum(rv * rv))
+
+    def newton(up, vp):
+        r0u, r0v = res(up, vp, up, vp)
+        init_norm = norm2(r0u, r0v)
+
+        def cond(c):
+            u, v, it, done, rn, prev = c
+            return jnp.logical_and(~done, it < max_its)
+
+        def body(c):
+            u, v, it, done, _, prev = c
+            ru, rv = res(u, v, up, vp)
+            rn = norm2(ru, rv)
+            conv = rn / init_norm < relnorm_cutoff
+            stag = jnp.logical_and(it > 0, rn > 0.99 * prev)
+            stop = jnp.logical_or(conv, stag)
+            du, dv = solve(u, v, ru, rv)
+            u_new = jnp.where(stop, u, u - du)
+            v_new = jnp.where(stop, v, v - dv)
+            return (u_new, v_new, it + 1, stop, rn, rn)
+
+        big = jnp.asarray(jnp.inf, dtype)
+        u, v, it, done, rn, _ = jax.lax.while_loop(
+            cond, body,
+            (up, vp, jnp.int32(0), jnp.bool_(False), init_norm, big))
+        return u, v, it - done.astype(jnp.int32)
+
+    def step(carry, _):
+        up, vp, its = carry
+        u, v, nits = newton(up, vp)
+        return (u, v, its + nits), (u.astype(sd), v.astype(sd))
+
+    (_, _, total_its), (us, vs) = jax.lax.scan(
+        step, (su0, sv0, jnp.int32(0)), None, length=num_steps)
+
+    # unskew the whole trajectory in one vectorized gather
+    us = jnp.concatenate((su0.astype(sd)[None], us), axis=0)
+    vs = jnp.concatenate((sv0.astype(sd)[None], vs), axis=0)
+    u_t = sk.from_skewed(us, lay).reshape(num_steps + 1, -1)
+    v_t = sk.from_skewed(vs, lay).reshape(num_steps + 1, -1)
+    snaps = jnp.concatenate((u_t, v_t), axis=1).T
+    return FOMResult(snaps=snaps, total_newton_its=total_its)
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "num_steps"))
 def inviscid_burgers_explicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2):
     """Forward-Euler explicit stepper (reference hypernet2D.py:30-70).

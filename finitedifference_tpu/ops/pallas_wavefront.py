@@ -1,0 +1,200 @@
+"""Pallas TPU kernel for the wavefront triangular solve.
+
+The lax.scan wavefront (ops/wavefront.py) is exact but latency-bound:
+2N-1 sequential scan steps of ~N-element vector work each, costing
+~100us of per-step overhead on TPU (≈150 ms/solve at 750^2). This kernel
+runs the entire substitution inside ONE Pallas program: the grid loops
+over blocks of diagonals (Pallas auto-pipelines their HBM->VMEM
+transfers), a `fori_loop` walks the diagonals inside each block, and the
+previous-diagonal carry lives in a persistent VMEM scratch. The lane
+dimension is the skewed row index, so every per-diagonal update is a
+dense (1, ny_pad) VPU op.
+
+float32 only (Mosaic has no f64); pair with an f64 Newton for
+reference-precision trajectories (fom.newton_step(solve_dtype=float32)):
+the residuals and updates stay f64, the inner solve is f32, and inexact
+Newton absorbs the difference in ~1-2 extra iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.ops.wavefront import skew, unskew
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(nx: int, ny: int, ny_pad: int, block: int,
+                 kx: float, ky: float):
+    import numpy as np
+
+    # plain numpy scalars: jnp scalars would be captured traced consts,
+    # which pallas_call rejects
+    kx = np.float32(kx)
+    ky = np.float32(ky)
+    one = np.float32(1.0)
+    half = np.float32(0.5)
+    zero = np.float32(0.0)
+
+    def kernel(su_ref, sv_ref, sfu_ref, sfv_ref, sdu_ref, sdv_ref,
+               prev_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            prev_ref[...] = jnp.zeros_like(prev_ref)
+
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad), 1)
+
+        def shift_down(x):
+            # x[r] -> x[r-1] along lanes, zero at r=0
+            rolled = pltpu.roll(x, 1, axis=1)
+            return jnp.where(r_ids == 0, zero, rolled)
+
+        def body(k, _):
+            d = i * block + k
+            valid = jnp.logical_and(r_ids <= d,
+                                    jnp.logical_and(d - r_ids < nx,
+                                                    r_ids < ny))
+            u_d = su_ref[pl.ds(k, 1), :]
+            v_d = sv_ref[pl.ds(k, 1), :]
+            fu_d = sfu_ref[pl.ds(k, 1), :]
+            fv_d = sfv_ref[pl.ds(k, 1), :]
+
+            du_p = prev_ref[0:1, :]
+            dv_p = prev_ref[1:2, :]
+            u_p = prev_ref[2:3, :]
+            v_p = prev_ref[3:4, :]
+
+            u_s = shift_down(u_p)
+            v_s = shift_down(v_p)
+            du_s = shift_down(du_p)
+            dv_s = shift_down(dv_p)
+
+            rhs_u = fu_d + kx * u_p * du_p \
+                + half * ky * (v_s * du_s + u_s * dv_s)
+            rhs_v = fv_d + half * kx * (v_p * du_p + u_p * dv_p) \
+                + ky * v_s * dv_s
+
+            b11 = one + kx * u_d + half * ky * v_d
+            b12 = half * ky * u_d
+            b21 = half * kx * v_d
+            b22 = one + ky * v_d + half * kx * u_d
+            inv_det = one / (b11 * b22 - b12 * b21)
+
+            du_d = jnp.where(valid, (b22 * rhs_u - b12 * rhs_v) * inv_det,
+                             zero)
+            dv_d = jnp.where(valid, (b11 * rhs_v - b21 * rhs_u) * inv_det,
+                             zero)
+
+            sdu_ref[pl.ds(k, 1), :] = du_d
+            sdv_ref[pl.ds(k, 1), :] = dv_d
+            prev_ref[0:1, :] = du_d
+            prev_ref[1:2, :] = dv_d
+            prev_ref[2:3, :] = u_d
+            prev_ref[3:4, :] = v_d
+            return np.int32(0)
+
+        jax.lax.fori_loop(np.int32(0), np.int32(block), body, np.int32(0))
+
+    return kernel
+
+
+def solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
+                        block: int = 128, interpret: bool = False):
+    """Triangular solve on pre-padded skewed inputs (nd_pad, ny_pad).
+
+    The fast path for ops/skewed.py: no per-call skew/pad — the kernel
+    alone (~5 ms at 750^2 vs ~100 ms for the gather-based wrapper below).
+    f32 in, f32 out. Traced with x64 disabled: under global x64 the
+    Mosaic grid/index machinery becomes i64 and fails to lower on this
+    backend, so the kernel trace runs in pure-32-bit semantics (inputs
+    are f32 either way).
+    """
+    with jax.enable_x64(False):
+        return _solve_skewed_pallas(su, sv, sfu, sfv, dt, grid, lay,
+                                    block=block, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dt", "grid", "lay", "block",
+                                    "interpret"))
+def _solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
+                         block: int = 128, interpret: bool = False):
+    f32 = jnp.float32
+    su, sv, sfu, sfv = (x.astype(f32) for x in (su, sv, sfu, sfv))
+    kernel = _make_kernel(lay.nx, lay.ny, lay.ny_pad, block,
+                          float(0.5 * dt / grid.dx),
+                          float(0.5 * dt / grid.dy))
+    spec = pl.BlockSpec((block, lay.ny_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(lay.nd_pad // block,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((lay.nd_pad, lay.ny_pad), f32),
+                   jax.ShapeDtypeStruct((lay.nd_pad, lay.ny_pad), f32)),
+        scratch_shapes=[pltpu.VMEM((4, lay.ny_pad), f32)],
+        interpret=interpret,
+    )(su, sv, sfu, sfv)
+
+
+def solve_jacobian_wavefront_pallas(u, v, fu, fv, dt, grid: Grid2D, *,
+                                    block: int = 128,
+                                    interpret: bool = False):
+    """Exact J(u,v) solve, one Pallas program (includes the skew/unskew
+    gathers — prefer ops/skewed.py + solve_skewed_pallas in hot loops).
+    f32 in, f32 out."""
+    with jax.enable_x64(False):
+        return _solve_jacobian_wavefront_pallas(
+            u, v, fu, fv, dt, grid, block=block, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dt", "grid", "block", "interpret"))
+def _solve_jacobian_wavefront_pallas(u, v, fu, fv, dt, grid: Grid2D, *,
+                                     block: int = 128,
+                                     interpret: bool = False):
+    ny, nx = grid.ny, grid.nx
+    f32 = jnp.float32
+    u, v, fu, fv = (x.astype(f32) for x in (u, v, fu, fv))
+    kx = float(0.5 * dt / grid.dx)
+    ky = float(0.5 * dt / grid.dy)
+
+    ndiag = ny + nx - 1
+    ny_pad = _round_up(ny, 128)
+    nd_pad = _round_up(ndiag, block)
+
+    def prep(x):
+        s = skew(x, ny, nx)
+        return jnp.pad(s, ((0, nd_pad - ndiag), (0, ny_pad - ny)))
+
+    su, sv, sfu, sfv = prep(u), prep(v), prep(fu), prep(fv)
+
+    kernel = _make_kernel(nx, ny, ny_pad, block, kx, ky)
+    spec = pl.BlockSpec((block, ny_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    sdu, sdv = pl.pallas_call(
+        kernel,
+        grid=(nd_pad // block,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((nd_pad, ny_pad), f32),
+                   jax.ShapeDtypeStruct((nd_pad, ny_pad), f32)),
+        scratch_shapes=[pltpu.VMEM((4, ny_pad), f32)],
+        interpret=interpret,
+    )(su, sv, sfu, sfv)
+
+    sdu = sdu[:ndiag, :ny]
+    sdv = sdv[:ndiag, :ny]
+    return unskew(sdu, ny, nx), unskew(sdv, ny, nx)

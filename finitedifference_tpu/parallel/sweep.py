@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+from finitedifference_tpu.fom import (
+    inviscid_burgers_implicit2d,
+    inviscid_burgers_implicit2d_skewed,
+)
 from finitedifference_tpu.grid import Grid2D
 from finitedifference_tpu.rom import lspg_prom
 
@@ -37,17 +40,23 @@ def _shard_batch(mus, mesh: Optional[Mesh], axis_name: str = "dp"):
 
 
 def sweep_fom(grid: Grid2D, w0, dt, num_steps, mus, *,
-              mesh: Optional[Mesh] = None,
+              mesh: Optional[Mesh] = None, engine: str = "standard",
               snaps_dtype=None, **kwargs):
     """Batched FOM trajectories for a (B, 2) array of (mu1, mu2).
 
     Returns snaps of shape (B, 2n, num_steps+1). With `mesh`, the batch
-    axis is sharded across devices (pad B to a multiple of the mesh size).
+    axis is sharded across devices (pad B to a multiple of the mesh
+    size). engine="skewed" uses the fast skewed-coordinate solver
+    (Pallas on TPU).
     """
     mus = _shard_batch(mus, mesh)
     w0 = jnp.asarray(w0)
 
     def run(mu):
+        if engine == "skewed":
+            return inviscid_burgers_implicit2d_skewed(
+                grid, w0, float(dt), num_steps, mu[0], mu[1],
+                snaps_dtype=snaps_dtype, **kwargs).snaps
         return inviscid_burgers_implicit2d(
             grid, w0, dt, num_steps, mu[0], mu[1],
             snaps_dtype=snaps_dtype, **kwargs).snaps

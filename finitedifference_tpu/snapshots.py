@@ -37,9 +37,13 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
     Returns (2n, num_steps+1) float64 ndarray, identical layout and
     filename protocol to the reference (hypernet2D.py:3111-3145).
     """
+    import jax
     import jax.numpy as jnp
 
-    from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+    from finitedifference_tpu.fom import (
+        inviscid_burgers_implicit2d,
+        inviscid_burgers_implicit2d_skewed,
+    )
 
     os.makedirs(snap_folder, exist_ok=True)
     snap_fn = param_to_snap_fn(mu, snap_folder=snap_folder)
@@ -47,9 +51,16 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
         return np.load(snap_fn)[:, : num_steps + 1]
 
     t0 = time.time()
-    res = inviscid_burgers_implicit2d(
-        grid, jnp.asarray(w0), dt, num_steps, float(mu[0]), float(mu[1])
-    )
+    if jax.default_backend() != "cpu":
+        # skewed engine with Pallas solves — same trajectories, much
+        # faster on TPU (mixed-precision inexact Newton)
+        res = inviscid_burgers_implicit2d_skewed(
+            grid, jnp.asarray(w0), float(dt), num_steps,
+            float(mu[0]), float(mu[1]))
+    else:
+        res = inviscid_burgers_implicit2d(
+            grid, jnp.asarray(w0), dt, num_steps,
+            float(mu[0]), float(mu[1]))
     snaps = np.asarray(res.snaps)
     print(f"Computed FOM snaps for mu1={mu[0]}, mu2={mu[1]} in "
           f"{time.time() - t0:.3e} s ({int(res.total_newton_its)} Newton its)")

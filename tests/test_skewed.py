@@ -1,0 +1,155 @@
+"""Skewed-coordinate engine + Pallas wavefront kernel (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from finitedifference_tpu.fom import (
+    inviscid_burgers_implicit2d,
+    inviscid_burgers_implicit2d_skewed,
+)
+from finitedifference_tpu.grid import Grid2D
+from finitedifference_tpu.ops import skewed as sk
+from finitedifference_tpu.ops.pallas_wavefront import (
+    solve_jacobian_wavefront_pallas,
+    solve_skewed_pallas,
+)
+from finitedifference_tpu.ops.stencil import (
+    burgers_residual_flat,
+    inflow_bc_term,
+    source_term,
+)
+from finitedifference_tpu.ops.wavefront import solve_jacobian_wavefront
+
+MU = [4.75, 0.02]
+DT = 0.05
+
+
+class TestSkewedOps:
+    def test_roundtrip(self):
+        grid = Grid2D(nx=13, ny=9, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(9, 13)))
+        s = sk.to_skewed(x, lay)
+        assert s.shape == (lay.nd_pad, lay.ny_pad)
+        np.testing.assert_array_equal(np.asarray(sk.from_skewed(s, lay)),
+                                      np.asarray(x))
+
+    def test_skewed_residual_matches_natural(self):
+        grid = Grid2D(nx=12, ny=10, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(1)
+        w = 1 + rng.uniform(size=grid.state_dim)
+        wp = 1 + rng.uniform(size=grid.state_dim)
+
+        want = burgers_residual_flat(jnp.asarray(w), jnp.asarray(wp),
+                                     MU[0], MU[1], DT, grid)
+        ru_w, rv_w = grid.split_fields(want)
+
+        u, v = grid.split_fields(jnp.asarray(w))
+        up, vp = grid.split_fields(jnp.asarray(wp))
+        valid = sk.valid_mask(lay, jnp.float64)
+        src_sk = sk.skewed_source(lay, grid, MU[1], DT, jnp.float64)
+        lbc_sk = sk.skewed_inflow_bc(lay, grid, MU[0], DT, jnp.float64)
+        ru, rv = sk.skewed_residual(
+            sk.to_skewed(u, lay), sk.to_skewed(v, lay),
+            sk.to_skewed(up, lay), sk.to_skewed(vp, lay),
+            DT, grid, lay, src_sk, lbc_sk, valid)
+        np.testing.assert_allclose(np.asarray(sk.from_skewed(ru, lay)),
+                                   np.asarray(ru_w), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(sk.from_skewed(rv, lay)),
+                                   np.asarray(rv_w), atol=1e-13)
+
+    def test_solve_skewed_lax_matches_wavefront(self):
+        grid = Grid2D(nx=11, ny=7, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(2)
+        u = jnp.asarray(1 + rng.uniform(size=(7, 11)))
+        v = jnp.asarray(1 + rng.uniform(size=(7, 11)))
+        fu = jnp.asarray(rng.normal(size=(7, 11)))
+        fv = jnp.asarray(rng.normal(size=(7, 11)))
+        du0, dv0 = solve_jacobian_wavefront(u, v, fu, fv, DT, grid)
+        sdu, sdv = sk.solve_skewed_lax(
+            sk.to_skewed(u, lay), sk.to_skewed(v, lay),
+            sk.to_skewed(fu, lay), sk.to_skewed(fv, lay), DT, grid, lay)
+        np.testing.assert_allclose(
+            np.asarray(sk.from_skewed(sdu, lay)), np.asarray(du0),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(sk.from_skewed(sdv, lay)), np.asarray(dv0),
+            atol=1e-12)
+
+
+class TestPallasKernel:
+    @pytest.mark.parametrize("shape", [(8, 6), (6, 8), (13, 5)])
+    def test_interpret_matches_oracle(self, shape):
+        nx, ny = shape
+        grid = Grid2D(nx=nx, ny=ny, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=nx, ny=ny)
+        rng = np.random.default_rng(0)
+        w = 1 + rng.uniform(size=grid.state_dim)
+        f = rng.normal(size=grid.state_dim)
+        u, v = grid.split_fields(jnp.asarray(w))
+        fu, fv = grid.split_fields(jnp.asarray(f))
+        du, dv = solve_jacobian_wavefront_pallas(u, v, fu, fv, 0.07, grid,
+                                                 block=8, interpret=True)
+        got = np.concatenate([np.asarray(du).ravel(),
+                              np.asarray(dv).ravel()])
+        want = oracle.spla.spsolve(oracle.jacobian(w, 0.07, ops), f)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 5e-7   # f32 kernel
+
+    def test_skewed_entry_matches_lax(self):
+        grid = Grid2D(nx=9, ny=9, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(3)
+        arrs = [sk.to_skewed(jnp.asarray(
+            1 + rng.uniform(size=(9, 9)), jnp.float32), lay)
+            for _ in range(4)]
+        sdu, sdv = solve_skewed_pallas(*arrs, DT, grid, lay, block=8,
+                                       interpret=True)
+        sdu0, sdv0 = sk.solve_skewed_lax(*arrs, DT, grid, lay)
+        np.testing.assert_allclose(np.asarray(sdu), np.asarray(sdu0),
+                                   rtol=2e-6, atol=1e-6)
+
+
+class TestSkewedEngine:
+    def test_matches_standard_engine(self):
+        grid = Grid2D(nx=13, ny=9, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        r1 = inviscid_burgers_implicit2d(grid, w0, DT, 10, MU[0], MU[1])
+        r2 = inviscid_burgers_implicit2d_skewed(grid, w0, DT, 10,
+                                                MU[0], MU[1],
+                                                use_pallas=False)
+        np.testing.assert_allclose(np.asarray(r2.snaps),
+                                   np.asarray(r1.snaps), rtol=1e-12,
+                                   atol=1e-13)
+        assert int(r1.total_newton_its) == int(r2.total_newton_its)
+
+    def test_mixed_precision_trajectory(self):
+        """f32 inner solves + f64 Newton converge to the same f64
+        trajectory (inexact Newton)."""
+        grid = Grid2D(nx=16, ny=16, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        exact = inviscid_burgers_implicit2d(grid, w0, DT, 20, 5.19, 0.026)
+        mixed = inviscid_burgers_implicit2d_skewed(
+            grid, w0, DT, 20, 5.19, 0.026, use_pallas=False,
+            solve_dtype=jnp.float32)
+        rel = np.linalg.norm(np.asarray(mixed.snaps)
+                             - np.asarray(exact.snaps)) / \
+            np.linalg.norm(np.asarray(exact.snaps))
+        assert rel < 1e-12
+
+    def test_vmap_over_mu(self):
+        grid = Grid2D(nx=8, ny=8, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        mus = jnp.asarray([[4.3, 0.016], [5.2, 0.028]])
+        out = jax.vmap(lambda m: inviscid_burgers_implicit2d_skewed(
+            grid, w0, DT, 4, m[0], m[1], use_pallas=False).snaps)(mus)
+        ref = jax.vmap(lambda m: inviscid_burgers_implicit2d(
+            grid, w0, DT, 4, m[0], m[1]).snaps)(mus)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-13)
