@@ -49,6 +49,22 @@ def rnm_closure(module: RNM_NN, params) -> Closure:
     return Closure(predict=predict, jacobian=jacobian)
 
 
+def rnm_closure_with_mu(module: RNM_NN, params, mu) -> Closure:
+    """RNM closure whose network input is [q_p; mu1; mu2] with mu fixed
+    at ROM time — the `_mu_included` trainer variant
+    (train_reduced_manifold_autoencoder_mu_included.py, paired with
+    project_snapshots(mu_labels=...)). The Jacobian is w.r.t. q_p only
+    (mu is a constant during the online solve)."""
+    net_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    mu_vec = jnp.asarray(mu, net_dtype)
+
+    def predict(y):
+        z = jnp.concatenate([y.astype(net_dtype), mu_vec])
+        return module.apply(params, z).astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jax.jacfwd(predict))
+
+
 def init_rnm(q1_size: int, q2_size: int, key=None, dtype=jnp.float32):
     """Create module + initial params."""
     if key is None:

@@ -115,6 +115,125 @@ def train_global_rbf(q_p, q_s, *,
     return model, log
 
 
+def train_knn_rbf_search(q_p, q_s, *, epsilons=None, neighbor_counts=None,
+                         kernel: str = "gaussian", train_frac: float = 0.8,
+                         seed: int = 1234557, on_host: bool = True,
+                         verbose: bool = False):
+    """Hyperparameter search over (epsilon, k) for the kNN-RBF closure
+    (role of the reference's grid_search_rbf_nearest_neighbors.py /
+    bayesian_optimization_rbf_neighbors.py): fit on a train split,
+    score by held-out reconstruction error, return the best KNNRBF.
+    """
+    if on_host:
+        from finitedifference_tpu.closures.common import run_on_host_cpu
+        return run_on_host_cpu(
+            train_knn_rbf_search, q_p, q_s, epsilons=epsilons,
+            neighbor_counts=neighbor_counts, kernel=kernel,
+            train_frac=train_frac, seed=seed, on_host=False,
+            verbose=verbose)
+
+    from finitedifference_tpu.closures.rbf import (
+        fit_knn_rbf,
+        rbf_knn_predict,
+    )
+
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    if epsilons is None:
+        epsilons = np.logspace(-2, 1, 8)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(q_p.shape[0])
+    n_tr = int(train_frac * q_p.shape[0])
+    tr, va = perm[:n_tr], perm[n_tr:]
+    if neighbor_counts is None:
+        neighbor_counts = [k for k in (10, 20, 50, 100) if k <= n_tr]
+
+    qp_va = jnp.asarray(q_p[va])
+    best = (np.inf, None)
+    log = {}
+    for k in neighbor_counts:
+        for eps in epsilons:
+            model = fit_knn_rbf(q_p[tr], q_s[tr], float(eps), int(k),
+                                kernel=kernel)
+            pred = jax.jit(jax.vmap(
+                lambda y: rbf_knn_predict(model, y)))(qp_va)
+            err = float(np.linalg.norm(np.asarray(pred) - q_s[va])
+                        / np.linalg.norm(q_s[va]))
+            log[(int(k), float(eps))] = err
+            if verbose:
+                print(f"  knn k={k} eps={eps:.4g}: err={err:.3e}")
+            if err < best[0]:
+                best = (err, (int(k), float(eps)))
+
+    err, (k_best, eps_best) = best
+    # final fit on all data
+    model = fit_knn_rbf(q_p, q_s, eps_best, k_best, kernel=kernel)
+    return model, {"best": {"neighbors": k_best, "epsilon": eps_best,
+                            "val_error": err},
+                   "grid": {str(k): v for k, v in log.items()}}
+
+
+def train_global_rbf_cv(q_p, q_s, *, epsilons=None,
+                        kernels=("gaussian", "imq", "multiquadric"),
+                        n_folds: int = 5, seed: int = 1234557,
+                        dedup: bool = True, on_host: bool = True,
+                        verbose: bool = False):
+    """k-fold cross-validated (epsilon x kernel) grid search (role of the
+    reference's compute_global_weights_grid_search_cv_with_kernels.py).
+    All folds for one kernel evaluate as a single vmapped program over
+    (fold, epsilon)."""
+    if on_host:
+        from finitedifference_tpu.closures.common import run_on_host_cpu
+        return run_on_host_cpu(
+            train_global_rbf_cv, q_p, q_s, epsilons=epsilons,
+            kernels=kernels, n_folds=n_folds, seed=seed, dedup=dedup,
+            on_host=False, verbose=verbose)
+
+    q_p = np.asarray(q_p)
+    q_s = np.asarray(q_s)
+    if dedup:
+        q_p, q_s = remove_duplicates(q_p, q_s)
+    if epsilons is None:
+        epsilons = np.logspace(-2, 1, 12)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(q_p.shape[0])
+    # equal-size folds (truncate the remainder)
+    fold_size = q_p.shape[0] // n_folds
+    folds = perm[: fold_size * n_folds].reshape(n_folds, fold_size)
+
+    eps_arr = jnp.asarray(np.asarray(epsilons, dtype=q_p.dtype))
+    best = (np.inf, None, None)
+    log = {}
+    for kernel in kernels:
+        def one_fold(i):
+            va = folds[i]
+            tr = np.concatenate([folds[j] for j in range(n_folds)
+                                 if j != i])
+            scaler = fit_minmax(q_p[tr])
+            errf = jax.vmap(lambda e: _val_error(
+                jnp.asarray(q_p[tr]), jnp.asarray(q_s[tr]),
+                jnp.asarray(q_p[va]), jnp.asarray(q_s[va]),
+                e, kernel, scaler))
+            return np.asarray(jax.jit(errf)(eps_arr))
+
+        errs = np.mean([one_fold(i) for i in range(n_folds)], axis=0)
+        i = int(np.nanargmin(errs))
+        log[kernel] = {"epsilons": np.asarray(epsilons).tolist(),
+                       "cv_errors": errs.tolist()}
+        if verbose:
+            print(f"  {kernel}: best eps={epsilons[i]:.4g} "
+                  f"cv err={errs[i]:.3e}")
+        if errs[i] < best[0]:
+            best = (errs[i], float(epsilons[i]), kernel)
+
+    _, eps_best, kern_best = best
+    model = fit_global_rbf(q_p, q_s, eps_best, kernel=kern_best,
+                           scaler=fit_minmax(q_p))
+    log["best"] = {"epsilon": eps_best, "kernel": kern_best,
+                   "cv_error": float(best[0])}
+    return model, log
+
+
 def train_global_rbf_bayesian(q_p, q_s, *, kernel: str = "gaussian",
                               n_iters: int = 20, n_seed: int = 5,
                               log_eps_bounds=(-4.0, 2.0),

@@ -8,20 +8,32 @@ from common import base_parser, default_config, make_problem, report, \
     setup_jax, sync
 
 
-def main(mu1=4.75, mu2=0.02, num_cells=None, num_steps=None, f32=False):
+def main(mu1=4.75, mu2=0.02, num_cells=None, num_steps=None, f32=False,
+         engine=None):
     setup_jax(f32)
+    import jax
     import jax.numpy as jnp
 
-    from finitedifference_tpu.fom import inviscid_burgers_implicit2d
+    from finitedifference_tpu.fom import (
+        inviscid_burgers_implicit2d,
+        inviscid_burgers_implicit2d_skewed,
+    )
     from finitedifference_tpu.snapshots import param_to_snap_fn
 
     cfg = default_config(num_cells, num_steps)
     grid, w0 = make_problem(cfg)
     dtype = jnp.float32 if f32 else jnp.float64
+    if engine is None:
+        engine = "skewed" if jax.default_backend() != "cpu" else "standard"
 
     t0 = time.time()
-    res = inviscid_burgers_implicit2d(
-        grid, jnp.asarray(w0, dtype), cfg.dt, cfg.num_steps, mu1, mu2)
+    if engine == "skewed":
+        res = inviscid_burgers_implicit2d_skewed(
+            grid, jnp.asarray(w0, dtype), float(cfg.dt), cfg.num_steps,
+            mu1, mu2)
+    else:
+        res = inviscid_burgers_implicit2d(
+            grid, jnp.asarray(w0, dtype), cfg.dt, cfg.num_steps, mu1, mu2)
     snaps = sync(res.snaps)
     elapsed = time.time() - t0
     rate = cfg.num_steps / elapsed
@@ -37,5 +49,9 @@ def main(mu1=4.75, mu2=0.02, num_cells=None, num_steps=None, f32=False):
 
 
 if __name__ == "__main__":
-    args = base_parser(__doc__).parse_args()
-    main(args.mu1, args.mu2, args.num_cells, args.num_steps, args.f32)
+    p = base_parser(__doc__)
+    p.add_argument("--engine", default=None,
+                   choices=["standard", "skewed"])
+    args = p.parse_args()
+    main(args.mu1, args.mu2, args.num_cells, args.num_steps, args.f32,
+         args.engine)

@@ -127,3 +127,42 @@ class TestDerivativeChecker:
         results = check_derivatives.main(kernel="imq", verbose=False)
         for name, (slope, min_err, ok) in results.items():
             assert ok, f"{name}: slope {slope}, min err {min_err}"
+
+
+class TestKNNSearch:
+    def test_grid_search(self):
+        q_p, q_s = smooth_pairs(n=150)
+        from finitedifference_tpu.training.rbf_train import (
+            train_knn_rbf_search,
+        )
+        model, log = train_knn_rbf_search(
+            q_p, q_s, epsilons=np.logspace(-1, 0.5, 4),
+            neighbor_counts=[10, 30])
+        assert log["best"]["val_error"] < 0.1
+        assert model.neighbors in (10, 30)
+
+
+class TestCVGridSearch:
+    def test_cv(self):
+        q_p, q_s = smooth_pairs(n=120)
+        from finitedifference_tpu.training.rbf_train import (
+            train_global_rbf_cv,
+        )
+        model, log = train_global_rbf_cv(
+            q_p, q_s, epsilons=np.logspace(-1, 0.5, 4),
+            kernels=("gaussian",), n_folds=3)
+        assert log["best"]["cv_error"] < 0.1
+
+
+class TestRNMWithMu:
+    def test_mu_closure(self):
+        import jax.numpy as jnp
+        from finitedifference_tpu.closures.ann import (
+            init_rnm,
+            rnm_closure_with_mu,
+        )
+        module, params = init_rnm(q1_size=5, q2_size=7)  # 3 q + 2 mu
+        clo = rnm_closure_with_mu(module, params, [4.75, 0.02])
+        y = jnp.arange(3.0)
+        assert clo.predict(y).shape == (7,)
+        assert clo.jacobian(y).shape == (7, 3)
