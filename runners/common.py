@@ -74,8 +74,17 @@ def get_or_build_basis(cfg, grid, w0, num_modes: int,
     snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
                               cfg.num_steps, snap_folder=cfg.snap_folder)
     t0 = time.time()
-    basis, sigma = pod(snaps, num_modes=num_modes, method=method,
-                       random_state=cfg.seed)
+    # large snapshot matrices: the device rSVD would exceed HBM (the
+    # same wall the reference hits — its fine-grid HPROM OOMs a node);
+    # this is offline, so run it on the host CPU backend
+    import jax as _jax
+    if snaps.nbytes > 2e9:
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            basis, sigma = pod(snaps, num_modes=num_modes, method=method,
+                               random_state=cfg.seed)
+    else:
+        basis, sigma = pod(snaps, num_modes=num_modes, method=method,
+                           random_state=cfg.seed)
     print(f"POD ({method}, {num_modes} modes): {time.time() - t0:.3e} s")
     basis = np.asarray(basis)
     np.save(path, basis)

@@ -153,3 +153,17 @@ class TestSkewedEngine:
             grid, w0, DT, 4, m[0], m[1]).snaps)(mus)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-12, atol=1e-13)
+
+
+class TestSweepSkewedEngine:
+    def test_sweep_engine_matches(self):
+        from finitedifference_tpu.parallel.sweep import sweep_fom
+
+        grid = Grid2D(nx=8, ny=8, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        mus = jnp.asarray([[4.4, 0.017], [5.1, 0.027]])
+        std = sweep_fom(grid, w0, DT, 4, mus)
+        fast = sweep_fom(grid, w0, DT, 4, mus, engine="skewed",
+                         use_pallas=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(std),
+                                   rtol=1e-12, atol=1e-13)
