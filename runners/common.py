@@ -36,6 +36,20 @@ def setup_jax(f32: bool = False):
     return jax
 
 
+def default_ls_dtype(f32: bool):
+    """Mixed-precision least squares on TPU: f64 tall-skinny QR is ~30x
+    slower than f32 there (and has crashed the axon worker under load);
+    the f32 LS update error (~1e-7) is far below the GN stagnation
+    threshold. CPU keeps full precision."""
+    import jax
+
+    if f32 or jax.default_backend() == "cpu":
+        return None
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
 def make_problem(cfg):
     from finitedifference_tpu.grid import grid_from_config
 
@@ -160,7 +174,8 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     if weights_full is None:
         decode, dec_jac = manifold_decoder(u_p, u_s, closure)
         res = manifold_rom(grid, y0, decode, dec_jac, cfg.dt,
-                           cfg.num_steps, mu1, mu2)
+                           cfg.num_steps, mu1, mu2,
+                           ls_dtype=default_ls_dtype(f32))
     else:
         sample_inds = np.where(weights_full != 0)[0]
         mesh = build_sampled_mesh(grid, sample_inds)
@@ -169,7 +184,8 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
         res = manifold_rom(grid, y0, dec_s, jac_s, cfg.dt, cfg.num_steps,
                            mu1, mu2, mesh=mesh,
                            sample_weights=jnp.asarray(
-                               weights_full[sample_inds], dtype))
+                               weights_full[sample_inds], dtype),
+                           ls_dtype=default_ls_dtype(f32))
         decode, _ = manifold_decoder(u_p, u_s, closure)
     rom_snaps = sync(jax.vmap(decode_full, in_axes=1,
                               out_axes=1)(res.red_coords))
