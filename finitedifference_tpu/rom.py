@@ -39,11 +39,13 @@ class ROMResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "num_steps", "max_its", "ls_dtype"),
+    static_argnames=("grid", "num_steps", "max_its", "ls_dtype",
+                     "ls_method"),
 )
 def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
               *, max_its: int = 20, relnorm_cutoff: float = 1e-5,
-              min_delta: float = 0.1, ls_dtype=None) -> ROMResult:
+              min_delta: float = 0.1, ls_dtype=None,
+              ls_method: str = "qr") -> ROMResult:
     """LSPG PROM with a linear POD basis (reference
     inviscid_burgers_implicit2D_LSPG, hypernet2D.py:133-200).
 
@@ -67,7 +69,8 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
             w, wp, mu1, mu2, dt, grid, src, lbc)
         out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yp,
                            max_its=max_its, relnorm_cutoff=relnorm_cutoff,
-                           min_delta=min_delta, ls_dtype=ls_dtype)
+                           min_delta=min_delta, ls_dtype=ls_dtype,
+                           ls_method=ls_method)
         w = basis @ out.y
         return (out.y, w, its + out.num_its), out.y
 
@@ -85,12 +88,14 @@ def reconstruct(basis, red_coords) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "num_steps", "max_its", "ls_dtype"),
+    static_argnames=("grid", "num_steps", "max_its", "ls_dtype",
+                     "ls_method"),
 )
 def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
                num_steps, mu1, mu2, *, max_its: int = 20,
                relnorm_cutoff: float = 1e-5,
-               min_delta: float = 0.1, ls_dtype=None) -> ROMResult:
+               min_delta: float = 0.1, ls_dtype=None,
+               ls_method: str = "qr") -> ROMResult:
     """HPROM: LSPG on the ECSW sampled mesh (reference
     inviscid_burgers_ecsw_fixed, hypernet2D.py:202-273).
 
@@ -129,7 +134,8 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
         out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yp,
                            weights=wgt, max_its=max_its,
                            relnorm_cutoff=relnorm_cutoff,
-                           min_delta=min_delta, ls_dtype=ls_dtype)
+                           min_delta=min_delta, ls_dtype=ls_dtype,
+                           ls_method=ls_method)
         w = basis_aug @ out.y
         return (out.y, w, its + out.num_its), out.y
 
@@ -143,7 +149,8 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
 def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
                  mu1, mu2, *, mesh=None, sample_weights=None,
                  max_its: int = 20, relnorm_cutoff: float = 1e-5,
-                 min_delta: float = 0.1, ls_dtype=None) -> ROMResult:
+                 min_delta: float = 0.1, ls_dtype=None,
+               ls_method: str = "qr") -> ROMResult:
     """Generic LSPG ROM over a (possibly nonlinear) decoder.
 
     One stepper covers the reference's RNM/HRNM (hypernet2D.py:275-676),
@@ -187,7 +194,8 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
         out = gauss_newton(decode, dec_jac, res_builder(wp), jac_apply, yp,
                            weights=wgt, max_its=max_its,
                            relnorm_cutoff=relnorm_cutoff,
-                           min_delta=min_delta, ls_dtype=ls_dtype)
+                           min_delta=min_delta, ls_dtype=ls_dtype,
+                           ls_method=ls_method)
         w = decode(out.y)
         return (out.y, w, its + out.num_its), out.y
 

@@ -30,6 +30,21 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 
+def lstsq_normal(a: jnp.ndarray, b: jnp.ndarray,
+                 ridge: float = 0.0) -> jnp.ndarray:
+    """Least squares via the normal equations: (a^T a) x = a^T b with a
+    Cholesky solve. Squares the condition number — only appropriate for
+    well-conditioned systems like LSPG's J@V ~ V + O(dt) — but runs the
+    whole solve as MXU matmuls + a tiny k x k factorization (~10x faster
+    than tall-skinny QR on TPU)."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    g = a.T @ a
+    if ridge:
+        g = g + ridge * jnp.eye(g.shape[0], dtype=g.dtype)
+    return cho_solve(cho_factor(g), a.T @ b)
+
+
 def lstsq_qr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Least-squares via reduced QR — tall-skinny friendly (MXU matmul +
     small triangular solve). Assumes full column rank (J@V ≈ V + O(dt)).
@@ -64,6 +79,7 @@ def gauss_newton(
     min_delta: float = 0.1,
     stepsize: float = 1.0,
     ls_dtype=None,
+    ls_method: str = "qr",
 ) -> GNResult:
     """Generic Gauss-Newton for min_y || wgt * res(decode(y)) ||.
 
@@ -104,11 +120,12 @@ def gauss_newton(
         jv = jac_apply(w, v)
         if weights is not None:
             jv = weights[:, None] * jv
+        solve_ls = lstsq_normal if ls_method == "normal" else lstsq_qr
         if ls_dtype is not None:
-            dy = lstsq_qr(jv.astype(ls_dtype),
+            dy = solve_ls(jv.astype(ls_dtype),
                           (-fw).astype(ls_dtype)).astype(y.dtype)
         else:
-            dy = lstsq_qr(jv, -fw)
+            dy = solve_ls(jv, -fw)
         y_new = jnp.where(stop, y, y + stepsize * dy)
         return (y_new, it + 1, stop, rn)
 

@@ -100,3 +100,26 @@ class TestSnapshots:
         b = a + 0.01
         pct = relative_error_pct(b, a)
         assert 0 < pct < 5
+
+
+class TestNormalEquationsLS:
+    def test_matches_qr_on_prom(self):
+        grid, ops, xc, w0, basis = setup_problem()
+        a = lspg_prom(grid, jnp.asarray(w0), DT, 10, MU[0], MU[1],
+                      jnp.asarray(basis))
+        b = lspg_prom(grid, jnp.asarray(w0), DT, 10, MU[0], MU[1],
+                      jnp.asarray(basis), ls_method="normal")
+        rel = np.linalg.norm(np.asarray(a.red_coords)
+                             - np.asarray(b.red_coords)) / \
+            np.linalg.norm(np.asarray(a.red_coords))
+        assert rel < 1e-8
+
+    def test_lstsq_normal_direct(self):
+        from finitedifference_tpu.solvers import lstsq_normal
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(50, 8)) + np.pad(np.eye(8) * 5, ((0, 42),
+                                                              (0, 0)))
+        b = rng.normal(size=50)
+        x = np.asarray(lstsq_normal(jnp.asarray(A), jnp.asarray(b)))
+        want = np.linalg.lstsq(A, b, rcond=None)[0]
+        np.testing.assert_allclose(x, want, atol=1e-9)
