@@ -194,11 +194,11 @@ def inviscid_burgers_implicit2d_skewed(
 
     def solve(u, v, ru, rv):
         if use_pallas:
-            du, dv = solve_skewed_pallas(
-                u.astype(jnp.float32) if solve_dtype is None else
-                u.astype(solve_dtype),
-                v.astype(jnp.float32), ru.astype(jnp.float32),
-                rv.astype(jnp.float32), dt, grid, lay, block=block)
+            # the Pallas kernel is f32 by construction (Mosaic has no
+            # f64); solve_dtype only selects the precision of the lax
+            # fallback path
+            du, dv = solve_skewed_pallas(u, v, ru, rv, dt, grid, lay,
+                                         block=block)
         else:
             ud = u if solve_dtype is None else u.astype(solve_dtype)
             du, dv = sk.solve_skewed_lax(
