@@ -129,13 +129,19 @@ def sync(x):
 
 
 def split_training(cfg, grid, w0, num_total: int, num_primary: int,
-                   num_secondary: int | None = None, basis_path="basis.npy"):
+                   num_secondary: int | None = None, basis_path="basis.npy",
+                   max_pairs: int = 1500):
     """POD split + projected training pairs for all closure ROMs.
 
     Returns (u_p, u_s, q_p, q_s): primary/secondary POD blocks and the
     (n_samples, n_p)/(n_samples, n_s) regression pairs (the shared
     offline recipe of train_reduced_manifold_autoencoder.py:86-219,
     POD-RBF_global/compute_global_weights_*.py and POD-GP/train_gp.py).
+
+    Pairs beyond `max_pairs` are stride-subsampled: kernel-method fits
+    are cubic in the pair count, and ~1.5k well-spread points along the
+    9 trajectories saturate interpolation accuracy (the reference
+    instead burns SLURM hours on the full 4.5k-point grid searches).
     """
     from finitedifference_tpu.pod import split_basis
     from finitedifference_tpu.snapshots import collect_snapshots
@@ -147,6 +153,9 @@ def split_training(cfg, grid, w0, num_total: int, num_primary: int,
                               cfg.num_steps, snap_folder=cfg.snap_folder)
     q_p, q_s = project_snapshots(basis, snaps.T, num_primary,
                                  num_secondary)
+    if max_pairs and q_p.shape[0] > max_pairs:
+        stride = -(-q_p.shape[0] // max_pairs)
+        q_p, q_s = q_p[::stride], q_s[::stride]
     return np.asarray(u_p), np.asarray(u_s), q_p, q_s
 
 
@@ -229,6 +238,27 @@ def closure_ecsw_weights(cfg, grid, w0, u_p, u_s, closure, *,
                                    rel_err_thresh=1e-4)
     np.save(weights_path, weights)
     return weights
+
+
+def run_with_retry(fn, mu, retries: int = 2, backoff_s: float = 180.0):
+    """Run one benchmark point with crash recovery.
+
+    The TPU worker in this environment occasionally crashes under
+    sustained load ("TPU worker process crashed or restarted") and
+    recovers after a few minutes; the reference has no failure handling
+    at all (SURVEY.md §5). Retry after a backoff; on repeated failure
+    return (None, None) so the driver records the gap and continues.
+    """
+    for attempt in range(retries + 1):
+        try:
+            return fn(mu)
+        except Exception as e:  # noqa: BLE001 — driver must survive
+            print(f"  attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            if attempt == retries:
+                return None, None
+            print(f"  waiting {backoff_s:.0f}s for the worker to recover")
+            time.sleep(backoff_s)
 
 
 def base_parser(desc: str) -> argparse.ArgumentParser:

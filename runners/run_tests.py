@@ -8,7 +8,8 @@ import time
 
 import numpy as np
 
-from common import default_config, make_problem, setup_jax, sync
+from common import default_config, make_problem, run_with_retry, \
+    setup_jax, sync
 
 TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
 
@@ -71,7 +72,10 @@ def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
                 print(f"skipping {key} (done)")
                 continue
             print(f"=== {name} at mu = {mu} ===")
-            elapsed, err = runner_by_name[name](mu)
+            elapsed, err = run_with_retry(runner_by_name[name], mu)
+            if elapsed is None:
+                print(f"  {key} FAILED after retries; continuing")
+                continue
             results[key] = np.array([elapsed, err])
             np.savez(out, **results)
     print(f"results accumulated in {out}")

@@ -8,7 +8,7 @@ import time
 
 import numpy as np
 
-from common import default_config, setup_jax
+from common import default_config, run_with_retry, setup_jax
 from run_tests import TEST_POINTS
 
 
@@ -45,7 +45,10 @@ def main(models=("hprom", "hrnm", "pod_rbf_hprom", "pod_gp_hprom"),
                 print(f"skipping {key} (done)")
                 continue
             print(f"=== {name} at mu = {mu} ===")
-            elapsed, err = runner_by_name[name](mu)
+            elapsed, err = run_with_retry(runner_by_name[name], mu)
+            if elapsed is None:
+                print(f"  {key} FAILED after retries; continuing")
+                continue
             results[key] = np.array([elapsed, err])
             np.savez(out, **results)
     print(f"results accumulated in {out}")
