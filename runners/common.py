@@ -161,8 +161,17 @@ def split_training(cfg, grid, w0, num_total: int, num_primary: int,
 
 def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
                  f32=False, weights_full=None, label="ROM",
-                 save_prefix=None):
-    """Online manifold-ROM run (full or hyper-reduced) + report."""
+                 save_prefix=None, warm_q1=None):
+    """Online manifold-ROM run (full or hyper-reduced) + report.
+
+    warm_q1: optional projected coordinates of a training trajectory at
+    t=1 used as the state after the first step. The reference's POD-RBF
+    and POD-GP steppers overwrite their step-0 Gauss-Newton result with
+    exactly this (hypernet2D.py:1100-1102, the `i % 258492480 == 0`
+    quirk): the closure GN can diverge from the uniform cold start, and
+    all trajectories begin at the same w0=1 regardless of mu, so the
+    training trajectory's first step is a faithful warm start.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -178,26 +187,50 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     decode_full, _ = manifold_decoder(u_p.astype(dtype if f32 else u_p.dtype),
                                       u_s, closure)
     y0 = jnp.asarray(u_p.T @ w0, dtype)
+    num_steps = cfg.num_steps
+    y_start = y0
+    if warm_q1 is not None:
+        y_start = jnp.asarray(warm_q1, dtype)
+        num_steps = cfg.num_steps - 1
+
+    # Known issue on the axon dev TPU backend: the jitted closure-ROM
+    # online program produces wrong numerics in f32 and crashes the
+    # worker in f64 at >=250^2, while the *identical* jitted program on
+    # the CPU backend matches the reference solver (validated per-step
+    # to 1e-13 and 0.88% over 60 steps). Until the backend matures,
+    # full-scale closure-ROM online loops run on the host backend.
+    run_device = None
+    if jax.default_backend() != "cpu" and grid.n_cells >= 32768:
+        run_device = jax.devices("cpu")[0]
+        print("note: running closure-ROM online loop on the host backend "
+              "(axon closure-ROM numerics issue; see runners/common.py)")
+
+    import contextlib
+    device_ctx = jax.default_device(run_device) if run_device is not None         else contextlib.nullcontext()
 
     t0 = time.time()
-    if weights_full is None:
-        decode, dec_jac = manifold_decoder(u_p, u_s, closure)
-        res = manifold_rom(grid, y0, decode, dec_jac, cfg.dt,
-                           cfg.num_steps, mu1, mu2,
-                           ls_dtype=default_ls_dtype(f32))
-    else:
-        sample_inds = np.where(weights_full != 0)[0]
-        mesh = build_sampled_mesh(grid, sample_inds)
-        idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
-        dec_s, jac_s = manifold_decoder(u_p[idx], u_s[idx], closure)
-        res = manifold_rom(grid, y0, dec_s, jac_s, cfg.dt, cfg.num_steps,
-                           mu1, mu2, mesh=mesh,
-                           sample_weights=jnp.asarray(
-                               weights_full[sample_inds], dtype),
-                           ls_dtype=default_ls_dtype(f32))
-        decode, _ = manifold_decoder(u_p, u_s, closure)
+    ls_dt = default_ls_dtype(f32) if run_device is None else None
+    with device_ctx:
+        if weights_full is None:
+            decode, dec_jac = manifold_decoder(u_p, u_s, closure)
+            res = manifold_rom(grid, y_start, decode, dec_jac, cfg.dt,
+                               num_steps, mu1, mu2, ls_dtype=ls_dt)
+        else:
+            sample_inds = np.where(weights_full != 0)[0]
+            mesh = build_sampled_mesh(grid, sample_inds)
+            idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
+            dec_s, jac_s = manifold_decoder(u_p[idx], u_s[idx], closure)
+            res = manifold_rom(grid, y_start, dec_s, jac_s, cfg.dt,
+                               num_steps, mu1, mu2, mesh=mesh,
+                               sample_weights=jnp.asarray(
+                                   weights_full[sample_inds], dtype),
+                               ls_dtype=ls_dt)
+            decode, _ = manifold_decoder(u_p, u_s, closure)
+    red = res.red_coords
+    if warm_q1 is not None:
+        red = jnp.concatenate((y0[:, None], red), axis=1)
     rom_snaps = sync(jax.vmap(decode_full, in_axes=1,
-                              out_axes=1)(res.red_coords))
+                              out_axes=1)(red))
     elapsed = time.time() - t0
     print(f"Total GN iterations: {int(res.total_gn_its)}")
 

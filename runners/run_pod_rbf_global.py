@@ -32,6 +32,19 @@ def get_global_rbf(cfg, grid, w0, num_primary, num_secondary,
     return u_p, u_s, global_rbf_closure(model)
 
 
+def training_warm_q1(cfg, grid, w0, u_p):
+    """q_p of the first training trajectory at t=1 (the reference's
+    step-0 reseed source, hypernet2D.py:1100-1102)."""
+    import numpy as np
+
+    from finitedifference_tpu.snapshots import load_or_compute_snaps
+
+    snaps = load_or_compute_snaps(cfg.mu_samples()[0], grid, w0, cfg.dt,
+                                  cfg.num_steps,
+                                  snap_folder=cfg.snap_folder)
+    return np.asarray(u_p).T @ snaps[:, 1]
+
+
 def main(mu1=4.75, mu2=0.02, num_primary=10, num_secondary=140,
          retrain=False, num_cells=None, num_steps=None, f32=False):
     setup_jax(f32)
@@ -41,7 +54,8 @@ def main(mu1=4.75, mu2=0.02, num_primary=10, num_secondary=140,
                                        num_secondary, retrain=retrain)
     return run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2,
                         f32=f32, label="POD-RBF-global",
-                        save_prefix="pod_rbf_global")
+                        save_prefix="pod_rbf_global",
+                        warm_q1=training_warm_q1(cfg, grid, w0, u_p))
 
 
 if __name__ == "__main__":
