@@ -16,11 +16,18 @@ import numpy as np  # noqa: E402
 from common import default_config, make_problem, setup_jax  # noqa: E402
 
 
-def plot_speedups(results_file: str, out: str):
+def plot_speedups(results_file: str, out: str,
+                  fom_file: str = "rom_results.npz"):
     data = dict(np.load(results_file))
     # keys: "<model>_<mu1>_<mu2>" -> [elapsed, rel_err_pct]
     foms = {k.split("_", 1)[1]: v[0] for k, v in data.items()
             if k.startswith("fom_")}
+    # the hprom results file has no FOM baselines of its own — pull them
+    # from the main results file
+    if os.path.exists(fom_file) and fom_file != results_file:
+        for k, v in dict(np.load(fom_file)).items():
+            if k.startswith("fom_"):
+                foms.setdefault(k.split("_", 1)[1], v[0])
     models = sorted({k.split("_")[0] for k in data} - {"fom"})
     mus = sorted({k.split("_", 1)[1] for k in data if not
                   k.startswith("fom_")})

@@ -16,7 +16,7 @@ from common import default_config, get_or_build_basis, make_problem, \
 
 
 def main(n_mu1=3, n_mu2=3, model="fom", num_modes=95, num_cells=None,
-         num_steps=None, f32=True, shard=True):
+         num_steps=None, f32=True, shard=True, engine="skewed"):
     setup_jax(f32)
     import jax
     import jax.numpy as jnp
@@ -47,18 +47,20 @@ def main(n_mu1=3, n_mu2=3, model="fom", num_modes=95, num_cells=None,
     w0j = jnp.asarray(w0, dtype)
     if model == "fom":
         run = lambda m: sweep_fom(grid, w0j, cfg.dt, cfg.num_steps, m,
-                                  mesh=mesh, snaps_dtype=jnp.float32)
+                                  mesh=mesh, engine=engine,
+                                  snaps_dtype=jnp.float32)
     else:
         basis = jnp.asarray(
             get_or_build_basis(cfg, grid, w0, num_modes), dtype)
         run = lambda m: sweep_lspg(grid, w0j, cfg.dt, cfg.num_steps, m,
                                    basis, mesh=mesh)
 
-    out = run(jnp.asarray(mus))
-    sync(out[0, :2, -1])                       # compile + settle
+    # device-side checksum: slice fetches are lazy on the axon backend
+    # and would fake the timing
+    checksum = jax.jit(lambda m: jnp.sum(run(m)))
+    float(checksum(jnp.asarray(mus)))           # compile + settle
     t0 = time.time()
-    out = run(jnp.asarray(mus * (1 + 1e-6)))   # fresh values
-    sync(out[:, :2, -1])
+    float(checksum(jnp.asarray(mus * (1 + 1e-6))))   # fresh values
     elapsed = time.time() - t0
     total_steps = n_real * cfg.num_steps
     print(f"sweep wall-clock: {elapsed:.2f} s "
@@ -77,6 +79,8 @@ if __name__ == "__main__":
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--f64", action="store_true")
     p.add_argument("--no-shard", action="store_true")
+    p.add_argument("--engine", default="skewed",
+                   choices=["standard", "skewed"])
     a = p.parse_args()
     main(a.n_mu1, a.n_mu2, a.model, a.num_modes, a.num_cells, a.num_steps,
-         not a.f64, not a.no_shard)
+         not a.f64, not a.no_shard, a.engine)
