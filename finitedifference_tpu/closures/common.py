@@ -23,6 +23,12 @@ class MinMaxScaler(NamedTuple):
         return (x - self.min_) / self.scale_
 
 
+def identity_scaler(dim: int) -> MinMaxScaler:
+    """No-op scaler — the reference's `_no_norm` RBF variants
+    (rbf_utils.py:732-1661) are this plus the standard code paths."""
+    return MinMaxScaler(scale_=jnp.ones(dim), min_=jnp.zeros(dim))
+
+
 def fit_minmax(data, feature_range=(-1.0, 1.0)) -> MinMaxScaler:
     """Fit a MinMaxScaler on rows of `data` (n_samples, dim)."""
     data = np.asarray(data)

@@ -249,3 +249,18 @@ class TestManifoldROM:
             np.asarray(u_p @ np.asarray(prom.red_coords)), hdm)
         assert err_rbf < err_lin
         assert err_rbf < 2.0
+
+
+class TestIdentityScaler:
+    def test_no_norm_rbf(self):
+        from finitedifference_tpu.closures.common import identity_scaler
+        q_p, q_s = smooth_data()
+        model = fit_global_rbf(q_p, q_s, 0.3, kernel="gaussian",
+                               scaler=identity_scaler(q_p.shape[1]))
+        pred = rbf_global_predict(model, jnp.asarray(q_p[5]))
+        np.testing.assert_allclose(np.asarray(pred), q_s[5], atol=1e-4)
+        jac = rbf_global_jacobian(model, jnp.asarray(q_p[5] + 0.01))
+        jac_ad = jax.jacfwd(lambda z: rbf_global_predict(model, z))(
+            jnp.asarray(q_p[5] + 0.01))
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                                   atol=1e-10)
