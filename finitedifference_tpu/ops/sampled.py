@@ -108,11 +108,13 @@ def _gather_stencil(f_aug, mesh: SampledMesh, axis: str):
 
 def sampled_source(mesh: SampledMesh, grid: Grid2D, mu2, dt, dtype):
     xc = grid.xc(dtype=dtype)[mesh.col_x]
-    return dt * 0.02 * jnp.exp(mu2 * xc)
+    mu2 = jnp.asarray(mu2, dtype)
+    return jnp.asarray(dt, dtype) * 0.02 * jnp.exp(mu2 * xc)
 
 
 def sampled_inflow_bc(mesh: SampledMesh, grid: Grid2D, mu1, dt, dtype):
-    val = jnp.asarray(0.5 * dt * mu1 * mu1 / grid.dx, dtype)
+    mu1 = jnp.asarray(mu1, dtype)
+    val = (0.5 * jnp.asarray(dt, dtype) * mu1 * mu1 / grid.dx).astype(dtype)
     return jnp.where(mesh.is_left, val, jnp.zeros((), dtype))
 
 

@@ -89,7 +89,9 @@ def skewed_source(lay: SkewedLayout, grid: Grid2D, mu2, dt, dtype):
     r = jnp.arange(lay.ny_pad)[None, :]
     c = jnp.clip(d - r, 0, lay.nx - 1)
     xc = grid.xc(dtype=dtype)[c]
-    return dt * 0.02 * jnp.exp(mu2 * xc) * valid_mask(lay, dtype)
+    mu2 = jnp.asarray(mu2, dtype)
+    return jnp.asarray(dt, dtype) * 0.02 * jnp.exp(mu2 * xc) \
+        * valid_mask(lay, dtype)
 
 
 def skewed_inflow_bc(lay: SkewedLayout, grid: Grid2D, mu1, dt, dtype):
@@ -97,7 +99,9 @@ def skewed_inflow_bc(lay: SkewedLayout, grid: Grid2D, mu1, dt, dtype):
     d = jnp.arange(lay.nd_pad)[:, None]
     r = jnp.arange(lay.ny_pad)[None, :]
     mask = ((d == r) & (r < lay.ny)).astype(dtype)
-    return jnp.asarray(0.5 * dt * mu1 * mu1 / grid.dx, dtype) * mask
+    mu1 = jnp.asarray(mu1, dtype)
+    return (0.5 * jnp.asarray(dt, dtype) * mu1 * mu1
+            / grid.dx).astype(dtype) * mask
 
 
 def skewed_residual(u, v, up, vp, dt, grid: Grid2D, lay: SkewedLayout,

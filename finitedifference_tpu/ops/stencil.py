@@ -62,16 +62,20 @@ def ddy_upwind(f: jnp.ndarray, dy) -> jnp.ndarray:
 
 def source_term(grid: Grid2D, mu2, dt, dtype=None) -> jnp.ndarray:
     """dt * 0.02 * exp(mu2 * xc), tiled over rows -> (ny, nx)."""
-    xc = grid.xc(dtype=dtype if dtype is not None else jnp.result_type(mu2))
-    row = dt * 0.02 * jnp.exp(mu2 * xc)
+    dtype = dtype if dtype is not None else jnp.result_type(mu2)
+    xc = grid.xc(dtype=dtype)
+    mu2 = jnp.asarray(mu2, dtype)   # mu may arrive in a wider dtype
+    row = jnp.asarray(dt, dtype) * 0.02 * jnp.exp(mu2 * xc)
     return jnp.broadcast_to(row[None, :], (grid.ny, grid.nx))
 
 
 def inflow_bc_term(grid: Grid2D, mu1, dt, dtype=None) -> jnp.ndarray:
     """Inflow Dirichlet BC: lbc[:, 0] = 0.5*dt*mu1^2/dx, else 0 -> (ny, nx)."""
     dtype = dtype if dtype is not None else jnp.result_type(mu1)
+    mu1 = jnp.asarray(mu1, dtype)
     col = jnp.zeros((grid.ny, grid.nx), dtype=dtype)
-    return col.at[:, 0].set(jnp.asarray(0.5 * dt * mu1 * mu1 / grid.dx, dtype))
+    return col.at[:, 0].set(
+        (0.5 * jnp.asarray(dt, dtype) * mu1 * mu1 / grid.dx).astype(dtype))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Smoke tests for the runner CLIs: tiny configs, real end-to-end flows
+(offline artifacts -> online ROM -> error report) in an isolated cwd."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "runners"))
+
+
+@pytest.fixture()
+def runner_cwd(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+SMALL = dict(num_cells=12, num_steps=8)
+
+
+class TestRunnerSmoke:
+    def test_fom_and_prom(self, runner_cwd):
+        import run_fom
+        import run_prom
+
+        elapsed, _ = run_fom.main(4.75, 0.02, **SMALL)
+        assert os.path.exists("param_snaps/mu1_4.75+mu2_0.02.npy")
+        elapsed, err = run_prom.main(4.75, 0.02, num_modes=6, **SMALL)
+        assert err < 5.0
+        assert os.path.exists("basis.npy")
+
+    def test_hprom(self, runner_cwd):
+        import run_hprom
+
+        _, err = run_hprom.main(4.75, 0.02, num_modes=6, compute_ecsw=True,
+                                bc_w=5.0, **SMALL)
+        assert err < 5.0
+        assert os.path.exists("ecsw_weights_lspg.npy")
+
+    def test_pod_rbf_global(self, runner_cwd):
+        import run_pod_rbf_global
+
+        _, err = run_pod_rbf_global.main(4.75, 0.02, num_primary=3,
+                                         num_secondary=5, **SMALL)
+        assert err < 10.0
+
+    def test_rnm(self, runner_cwd):
+        import run_rnm
+
+        _, err = run_rnm.main(4.75, 0.02, num_primary=3, num_secondary=5,
+                              epochs=30, retrain=True, **SMALL)
+        assert np.isfinite(err)
+
+    def test_sweep(self, runner_cwd):
+        import run_sweep
+
+        elapsed = run_sweep.main(n_mu1=2, n_mu2=1, **SMALL)
+        assert elapsed > 0
+
+    def test_tests_driver(self, runner_cwd):
+        import run_tests
+
+        results = run_tests.main(models=("prom",), out="rr.npz", **SMALL)
+        assert any(k.startswith("prom_") for k in results)
+        # skip-if-done on rerun
+        n_before = len(results)
+        results2 = run_tests.main(models=("prom",), out="rr.npz", **SMALL)
+        assert len(results2) == n_before
