@@ -82,13 +82,18 @@ def main():
     print(f"bench: warmup (compile) {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    t0 = time.time()
-    its = int(run(4.76, meas_steps))
-    elapsed = time.time() - t0
-    rate = meas_steps / elapsed
-    print(f"bench: {meas_steps} steps in {elapsed:.2f}s, "
-          f"{its} Newton its ({its / meas_steps:.1f}/step)",
-          file=sys.stderr)
+    # median of 3: the shared dev chip shows up to 4x run-to-run
+    # variance under ambient load
+    rates = []
+    for rep in range(3):
+        t0 = time.time()
+        its = int(run(4.76 + rep * 1e-4, meas_steps))
+        elapsed = time.time() - t0
+        rates.append(meas_steps / elapsed)
+        print(f"bench: rep {rep}: {meas_steps} steps in {elapsed:.2f}s, "
+              f"{its} Newton its ({its / meas_steps:.1f}/step)",
+              file=sys.stderr)
+    rate = sorted(rates)[1]
 
     print(json.dumps({
         "metric": f"fom_timesteps_per_sec_{n}x{n}_f64",

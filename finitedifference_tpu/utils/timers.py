@@ -34,20 +34,20 @@ class Timer:
         return result
 
     def __exit__(self, *exc):
-        if self._result is not None:
-            arr = self._result
-            np.asarray(arr).ravel()[:1] if hasattr(arr, "ravel") else arr
+        if self._result is not None and hasattr(self._result, "ravel"):
+            # full materialization — slice fetches are lazy on this backend
+            np.asarray(self._result)
         self.elapsed = time.time() - self._t0
         return False
 
 
 def _time_fn(fn: Callable, args, reps: int) -> float:
     out = fn(*args)                     # compile + warm
-    np.asarray(out).ravel()[:1]
+    np.asarray(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    np.asarray(out).ravel()[:1]         # sync
+    np.asarray(out)                     # full materialization = real sync
     return (time.time() - t0) / reps
 
 
