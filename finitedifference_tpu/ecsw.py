@@ -105,6 +105,12 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
     `rel_err_thresh` — stop once ||resid||/||d|| drops below it;
     `max_support` — stop once the positive set reaches this size.
     Returns (x, sum of squared residuals, residual vector).
+
+    Intentional default difference: the reference's lsqnonneg defaults
+    rel_err_thresh=0.01 (lsqnonneg.py:43); here the default 0.0 runs to
+    full convergence, so the *library* function is exact unless a caller
+    opts into an early stop (repo ECSW recipes pass 1e-4 explicitly —
+    ecsw.py::compute_ecsw_weights).
     """
     C = np.ascontiguousarray(C, dtype=np.float64)
     d = np.asarray(d, dtype=np.float64)

@@ -106,6 +106,11 @@ def newton_step(wp, mu1, mu2, dt, grid: Grid2D, *,
 class FOMResult(NamedTuple):
     snaps: jnp.ndarray       # (2n, num_steps+1) trajectory, columns = time
     total_newton_its: jnp.ndarray
+    # worst final relative residual over all steps (rn/||r(x0)||): > the
+    # Newton cutoff means some step exited on stagnation/max_its without
+    # converging — the silent-acceptance case ADVICE.md flags. None only
+    # for legacy constructors.
+    max_final_relnorm: jnp.ndarray | None = None
 
 
 @functools.partial(
@@ -132,17 +137,20 @@ def inviscid_burgers_implicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2,
     sd = snaps_dtype or w0.dtype
 
     def step(carry, _):
-        wp, its = carry
+        wp, its, worst = carry
         out = newton_step(wp, mu1, mu2, dt, grid,
                           max_its=max_its, relnorm_cutoff=relnorm_cutoff,
                           linear_solver=linear_solver, num_sweeps=num_sweeps)
-        return (out.w, its + out.num_its), out.w.astype(sd)
+        worst = jnp.maximum(worst, out.resnorm / out.init_norm)
+        return (out.w, its + out.num_its, worst), out.w.astype(sd)
 
-    (wT, total_its), traj = jax.lax.scan(
-        step, (w0, jnp.int32(0)), None, length=num_steps
+    (wT, total_its, worst), traj = jax.lax.scan(
+        step, (w0, jnp.int32(0), jnp.zeros((), w0.dtype)), None,
+        length=num_steps
     )
     snaps = jnp.concatenate((w0.astype(sd)[None, :], traj), axis=0).T
-    return FOMResult(snaps=snaps, total_newton_its=total_its)
+    return FOMResult(snaps=snaps, total_newton_its=total_its,
+                     max_final_relnorm=worst)
 
 
 @functools.partial(
@@ -233,15 +241,17 @@ def inviscid_burgers_implicit2d_skewed(
         u, v, it, done, rn, _ = jax.lax.while_loop(
             cond, body,
             (up, vp, jnp.int32(0), jnp.bool_(False), init_norm, big))
-        return u, v, it - done.astype(jnp.int32)
+        return u, v, it - done.astype(jnp.int32), rn / init_norm
 
     def step(carry, _):
-        up, vp, its = carry
-        u, v, nits = newton(up, vp)
-        return (u, v, its + nits), (u.astype(sd), v.astype(sd))
+        up, vp, its, worst = carry
+        u, v, nits, rel = newton(up, vp)
+        return (u, v, its + nits, jnp.maximum(worst, rel)), \
+            (u.astype(sd), v.astype(sd))
 
-    (_, _, total_its), (us, vs) = jax.lax.scan(
-        step, (su0, sv0, jnp.int32(0)), None, length=num_steps)
+    (_, _, total_its, worst), (us, vs) = jax.lax.scan(
+        step, (su0, sv0, jnp.int32(0), jnp.zeros((), dtype)), None,
+        length=num_steps)
 
     # unskew the whole trajectory in one vectorized gather
     us = jnp.concatenate((su0.astype(sd)[None], us), axis=0)
@@ -249,7 +259,8 @@ def inviscid_burgers_implicit2d_skewed(
     u_t = sk.from_skewed(us, lay).reshape(num_steps + 1, -1)
     v_t = sk.from_skewed(vs, lay).reshape(num_steps + 1, -1)
     snaps = jnp.concatenate((u_t, v_t), axis=1).T
-    return FOMResult(snaps=snaps, total_newton_its=total_its)
+    return FOMResult(snaps=snaps, total_newton_its=total_its,
+                     max_final_relnorm=worst)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "num_steps"))

@@ -74,7 +74,11 @@ def podsize(svals, energy_thresh: Optional[float] = None,
     svals = np.asarray(svals)
     if energy_thresh is not None:
         energies = np.cumsum(np.square(svals)) / np.square(svals).sum()
-        numvecs = int(np.argmax(energies >= energy_thresh))
+        hits = np.nonzero(energies >= energy_thresh)[0]
+        # never-reached threshold (e.g. energy_thresh=1.0 with roundoff):
+        # use every mode instead of argmax's silent 0 (the reference's
+        # np.where(...)[0][0] raises IndexError here)
+        numvecs = int(hits[0]) if hits.size else len(svals)
     else:
         numvecs = int(min_size)
     if min_size is not None:

@@ -64,6 +64,12 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
     snaps = np.asarray(res.snaps)
     print(f"Computed FOM snaps for mu1={mu[0]}, mu2={mu[1]} in "
           f"{time.time() - t0:.3e} s ({int(res.total_newton_its)} Newton its)")
+    if res.max_final_relnorm is not None:
+        worst = float(res.max_final_relnorm)
+        cutoff = 1e-12 if snaps.dtype == np.float64 else 1e-6
+        if worst > cutoff:
+            print(f"WARNING: some Newton step exited unconverged "
+                  f"(worst final relative residual {worst:.2e} > {cutoff:g})")
     np.save(snap_fn, snaps)
     return snaps
 

@@ -162,6 +162,17 @@ class TestTrajectories:
         rel = np.linalg.norm(np.asarray(res.snaps) - want) / \
             np.linalg.norm(want)
         assert rel < 1e-10
+        # converged runs surface a sub-cutoff worst relative residual
+        assert float(res.max_final_relnorm) < 1e-12
+
+    def test_unconverged_newton_is_surfaced(self):
+        # starve Newton of iterations: the final relative residual must
+        # be reported above the cutoff instead of silently accepted
+        grid, _, _ = make_grid(nx=8, ny=6)
+        w0 = jnp.ones(grid.state_dim)
+        res = inviscid_burgers_implicit2d(grid, w0, DT, 3, MU[0], MU[1],
+                                          max_its=1)
+        assert float(res.max_final_relnorm) > 1e-12
 
     def test_implicit_sweeps_solver(self):
         grid, ops, xc = make_grid(nx=6, ny=6)

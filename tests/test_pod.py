@@ -65,6 +65,12 @@ class TestPodsize:
         with pytest.raises(ValueError):
             podsize(np.ones(3))
 
+    def test_unreachable_threshold_falls_back_to_all_modes(self):
+        # energy_thresh above 1.0 is never reached; the old
+        # np.argmax silently returned 0 modes here (ADVICE.md)
+        svals = np.array([10.0, 1.0, 0.1])
+        assert podsize(svals, energy_thresh=1.0 + 1e-9) == 3
+
 
 class TestAdaptive:
     def test_rank_discovery(self):
