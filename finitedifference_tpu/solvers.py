@@ -135,3 +135,26 @@ def gauss_newton(
     )
     return GNResult(y=y, num_its=it - done.astype(jnp.int32),
                     resnorm=rn, init_norm=init_norm)
+
+
+def fit_reduced_coords(decode, dec_jac, y_init, target, *,
+                       max_its: int = 10, relnorm_cutoff: float = 1e-2,
+                       ls_method: str = "qr") -> GNResult:
+    """Fit reduced coordinates: min_y || decode(y) - target ||.
+
+    The reference's inner Gauss-Newton inside the closure ECSW
+    training-matrix builders (compute_ECSW_training_matrix_2D_rnm,
+    hypernet2D.py:2765-2773): start from the projection y_init, iterate
+    normal-equation GN steps until the decode residual has shrunk by
+    relnorm_cutoff (1e-2) relative to the initial projection residual,
+    capped at max_its (10). No stagnation stop (min_delta=0 disables it).
+    """
+    target = jnp.asarray(target)
+    return gauss_newton(
+        decode, dec_jac,
+        lambda w: w - target,
+        lambda w, v: v,
+        jnp.asarray(y_init),
+        max_its=max_its, relnorm_cutoff=relnorm_cutoff,
+        min_delta=0.0, ls_method=ls_method,
+    )

@@ -258,8 +258,16 @@ def closure_ecsw_weights(cfg, grid, w0, u_p, u_s, closure, *,
     if not compute and os.path.exists(weights_path):
         return np.load(weights_path)
 
+    from finitedifference_tpu.solvers import fit_reduced_coords
+
     decode, dec_jac = manifold_decoder(u_p, u_s, closure)
-    fit_y0 = lambda snap: jnp.asarray(u_p.T) @ snap
+    u_p_t = jnp.asarray(u_p.T)
+
+    def fit_y0(snap):
+        """Projection start + the reference's inner Gauss-Newton fit of
+        q to the snapshot through the decoder (hypernet2D.py:2765-2773),
+        replacing round 1's plain-projection shortcut."""
+        return fit_reduced_coords(decode, dec_jac, u_p_t @ snap, snap).y
     snaps = load_or_compute_snaps(list(mu_train), grid, w0, cfg.dt,
                                   cfg.num_steps,
                                   snap_folder=cfg.snap_folder)

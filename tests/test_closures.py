@@ -251,6 +251,37 @@ class TestManifoldROM:
         assert err_rbf < 2.0
 
 
+class TestFitReducedCoords:
+    def test_gn_fit_beats_projection(self):
+        """fit_reduced_coords (the reference's inner GN inside the
+        closure ECSW builders, hypernet2D.py:2765-2773) must reduce the
+        decode residual vs the plain projection start."""
+        from finitedifference_tpu.solvers import fit_reduced_coords
+
+        tm = TestManifoldROM()
+        grid, ops, xc, w0, snaps = tm.setup_problem(num_steps=25)
+        u, s = pod(snaps, num_modes=20, method="svd")
+        n_p = 4
+        u_p, u_s = split_basis(np.asarray(u), n_p, 16)
+        q = np.asarray(u).T @ snaps
+        q_p, q_s = q[:n_p].T, q[n_p:20].T
+        model = fit_global_rbf(q_p, q_s, 0.5, kernel="gaussian")
+        decode, dec_jac = manifold_decoder(u_p, u_s,
+                                           global_rbf_closure(model))
+        # out-of-sample snapshot
+        snap = jnp.asarray(oracle.implicit_trajectory(
+            w0, [4.75, 0.02], 0.05, 12, ops, xc)[:, -1])
+        y_proj = jnp.asarray(u_p.T) @ snap
+        out = fit_reduced_coords(decode, dec_jac, y_proj, snap)
+        res_proj = float(jnp.linalg.norm(decode(y_proj) - snap))
+        res_fit = float(jnp.linalg.norm(decode(out.y) - snap))
+        assert res_fit < res_proj
+        assert int(out.num_its) >= 1
+        # converged fits stop on the reference's 1e-2 relative criterion
+        assert res_fit / float(out.init_norm) < 1e-2 or \
+            int(out.num_its) == 10
+
+
 class TestIdentityScaler:
     def test_no_norm_rbf(self):
         from finitedifference_tpu.closures.common import identity_scaler
