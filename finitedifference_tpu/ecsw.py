@@ -213,10 +213,70 @@ def nnls_fista(C, d, num_iters: int = 500):
 # Empirical Cubature Method (greedy, host)
 # --------------------------------------------------------------------------
 
+class _GramInverse:
+    """Incrementally-maintained (A^T A)^{-1} and A^T b for a growing /
+    shrinking column set A = G[:, z].
+
+    The O(k^2) add/remove updates replace a fresh O(r k^2) lstsq per
+    greedy step — the same economics as the reference's rank-one inverse
+    updates (empirical_cubature_method.py:255-303,
+    _UpdateWeightsInverse/_MultiUpdateInverseHermitian), implemented here
+    as standard block-inverse updates/downdates of the Gram matrix.
+    """
+
+    def __init__(self, G, b):
+        self.G = G
+        self.b = b
+        self.hinv = np.zeros((0, 0))
+        self.atb = np.zeros(0)
+        self.cols: list = []
+
+    def try_add(self, j, eps: float = 1e-12) -> bool:
+        """Append column j; returns False (no-op) if nearly dependent."""
+        g = self.G[:, j]
+        d = float(g @ g)
+        if not self.cols:
+            if d <= eps:
+                return False
+            self.hinv = np.array([[1.0 / d]])
+            self.atb = np.array([float(g @ self.b)])
+            self.cols = [j]
+            return True
+        u = self.G[:, self.cols].T @ g            # (k,)
+        hu = self.hinv @ u
+        s = d - float(u @ hu)                     # Schur complement
+        if s <= eps * max(d, 1.0):
+            return False
+        k = len(self.cols)
+        new = np.empty((k + 1, k + 1))
+        new[:k, :k] = self.hinv + np.outer(hu, hu) / s
+        new[:k, k] = -hu / s
+        new[k, :k] = -hu / s
+        new[k, k] = 1.0 / s
+        self.hinv = new
+        self.atb = np.append(self.atb, float(g @ self.b))
+        self.cols.append(j)
+        return True
+
+    def remove(self, i: int) -> None:
+        """Drop the i-th (positional) column via an inverse downdate."""
+        keep = [p for p in range(len(self.cols)) if p != i]
+        h = self.hinv
+        hii = h[i, i]
+        self.hinv = h[np.ix_(keep, keep)] - \
+            np.outer(h[keep, i], h[i, keep]) / hii
+        self.atb = self.atb[keep]
+        self.cols = [self.cols[p] for p in keep]
+
+    def weights(self) -> np.ndarray:
+        return self.hinv @ self.atb
+
+
 def empirical_cubature(residual_basis, tolerance: float = 0.0,
                        filter_tolerance: float = 0.0,
                        constrain_sum_of_weights: bool = True,
                        max_iters: Optional[int] = None,
+                       use_inverse_updates: bool = True,
                        verbose: bool = False):
     """Select elements z and positive weights w with G[:, z] @ w ≈ G @ 1.
 
@@ -226,6 +286,11 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
     negative-weight ejection, per Hernandez 2020 (the algorithm the
     reference vendors in empirical_cubature_method.py). Host NumPy — the
     greedy loop is inherently sequential and offline.
+
+    use_inverse_updates=True maintains (A^T A)^{-1} by O(k^2) rank-one
+    updates instead of a fresh lstsq per step (the reference's
+    _UpdateWeightsInverse machinery); False re-solves each step (slower,
+    bitwise-stabler reference path for cross-checks).
 
     Returns (z, w): selected element indices and their positive weights.
     """
@@ -240,32 +305,61 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
     b = G @ np.ones(M)
     norm_b = np.linalg.norm(b)
 
-    candidates = np.arange(M)
+    cand = np.ones(M, dtype=bool)
     if filter_tolerance > 0:
         col_norms = np.linalg.norm(G, axis=0)
-        candidates = candidates[col_norms >= filter_tolerance * norm_b]
+        cand &= col_norms >= filter_tolerance * norm_b
+    Gt = np.ascontiguousarray(G.T)   # (M, r): row-major for the scoring GEMV
 
+    gram = _GramInverse(G, b)
     z: list = []
     r = b.copy()
     alpha = np.zeros(0)
     k = 0
     max_iters = max_iters or 10 * M
     while np.linalg.norm(r) / norm_b > tolerance and len(z) < M \
-            and candidates.size > 0 and k < max_iters:
+            and cand.any() and k < max_iters:
         k += 1
-        obj = G[:, candidates].T @ r
-        pick = candidates[int(np.argmax(obj))]
-        z.append(pick)
-        candidates = candidates[candidates != pick]
-
-        alpha = np.linalg.lstsq(G[:, z], b, rcond=None)[0]
-        # eject non-positive weights back into the candidate pool
-        while np.any(alpha <= 0) and len(z) > 1:
-            neg = np.where(alpha <= 0)[0]
-            candidates = np.concatenate(
-                [candidates, np.asarray(z, dtype=int)[neg]])
-            z = [zz for i, zz in enumerate(z) if i not in set(neg.tolist())]
+        # score ALL columns with one GEMV and mask — a column-subset
+        # gather (G[:, candidates]) copies O(M r) bytes per step and
+        # dominates the whole loop at 250^2 candidate counts
+        obj = Gt @ r
+        obj[~cand] = -np.inf
+        pick = None
+        if use_inverse_updates:
+            # best candidate whose column is independent of the current set
+            while True:
+                j = int(np.argmax(obj))
+                if not np.isfinite(obj[j]):
+                    break
+                if gram.try_add(j):
+                    pick = j
+                    break
+                obj[j] = -np.inf   # dependent column: skip this round
+            if pick is None:
+                break   # every remaining candidate is dependent
+            z.append(pick)
+            cand[pick] = False
+            alpha = gram.weights()
+            while np.any(alpha <= 0) and len(z) > 1:
+                neg = np.where(alpha <= 0)[0]
+                cand[np.asarray(z, dtype=int)[neg]] = True
+                for i in sorted(neg.tolist(), reverse=True):
+                    gram.remove(i)
+                z = [zz for i, zz in enumerate(z)
+                     if i not in set(neg.tolist())]
+                alpha = gram.weights()
+        else:
+            pick = int(np.argmax(obj))
+            z.append(pick)
+            cand[pick] = False
             alpha = np.linalg.lstsq(G[:, z], b, rcond=None)[0]
+            while np.any(alpha <= 0) and len(z) > 1:
+                neg = np.where(alpha <= 0)[0]
+                cand[np.asarray(z, dtype=int)[neg]] = True
+                z = [zz for i, zz in enumerate(z)
+                     if i not in set(neg.tolist())]
+                alpha = np.linalg.lstsq(G[:, z], b, rcond=None)[0]
         r = b - G[:, z] @ alpha
         if verbose:
             print(f"  ecm: k={k} |z|={len(z)} "
