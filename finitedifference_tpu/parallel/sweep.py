@@ -78,6 +78,45 @@ def sweep_lspg(grid: Grid2D, w0, dt, num_steps, mus, basis, *,
     return jax.vmap(run)(mus)
 
 
+def sweep_hprom(grid: Grid2D, smesh, sample_weights, y0, basis_aug, dt,
+                num_steps, mus, *, mesh: Optional[Mesh] = None, **kwargs):
+    """Batched ECSW HPROM: reduced coordinates (B, k, num_steps+1).
+
+    The multi-query economics story of hyper-reduction on TPU: one
+    offline weight solve amortized over a whole vmapped (mu1, mu2)
+    sweep, each point a few hundred sampled cells instead of the full
+    grid. smesh is the ops.sampled.SampledMesh (shared across the
+    batch); `mesh` (optional) shards the mu batch over devices.
+    """
+    from finitedifference_tpu.rom import ecsw_hprom
+
+    mus = _shard_batch(mus, mesh)
+
+    def run(mu):
+        return ecsw_hprom(grid, smesh, sample_weights, y0, basis_aug,
+                          dt, num_steps, mu[0], mu[1], **kwargs).red_coords
+
+    return jax.vmap(run)(mus)
+
+
+def sweep_manifold(grid: Grid2D, y0, decode, dec_jac, dt, num_steps, mus,
+                   *, mesh: Optional[Mesh] = None, smesh=None,
+                   sample_weights=None, **kwargs):
+    """Batched nonlinear-manifold ROM (RNM / POD-RBF / POD-GP / AE),
+    full or hyper-reduced: reduced coordinates (B, k, num_steps+1)."""
+    from finitedifference_tpu.rom import manifold_rom
+
+    mus = _shard_batch(mus, mesh)
+
+    def run(mu):
+        return manifold_rom(grid, y0, decode, dec_jac, dt, num_steps,
+                            mu[0], mu[1], mesh=smesh,
+                            sample_weights=sample_weights,
+                            **kwargs).red_coords
+
+    return jax.vmap(run)(mus)
+
+
 def pad_to_multiple(mus, multiple: int):
     """Pad the batch with copies of the last row to a device-count multiple
     (XLA requires equal shards). Returns (padded, original_count)."""

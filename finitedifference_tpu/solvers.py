@@ -36,13 +36,16 @@ def lstsq_normal(a: jnp.ndarray, b: jnp.ndarray,
     Cholesky solve. Squares the condition number — only appropriate for
     well-conditioned systems like LSPG's J@V ~ V + O(dt) — but runs the
     whole solve as MXU matmuls + a tiny k x k factorization (~10x faster
-    than tall-skinny QR on TPU)."""
+    than tall-skinny QR on TPU). The Gram matmuls force HIGHEST precision:
+    the TPU default would compute them in bfloat16 passes, and the Gram
+    product is exactly where the squared conditioning concentrates."""
     from jax.scipy.linalg import cho_factor, cho_solve
 
-    g = a.T @ a
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.matmul(a.T, a, precision=hi)
     if ridge:
         g = g + ridge * jnp.eye(g.shape[0], dtype=g.dtype)
-    return cho_solve(cho_factor(g), a.T @ b)
+    return cho_solve(cho_factor(g), jnp.matmul(a.T, b, precision=hi))
 
 
 def lstsq_qr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -50,6 +50,23 @@ def default_ls_dtype(f32: bool):
     return jnp.float32
 
 
+def default_ls(f32: bool) -> dict:
+    """Gauss-Newton least-squares kwargs for the current backend.
+
+    On TPU: normal-equations solve (all-MXU — the tall-skinny QR that
+    np.linalg.lstsq implies in the reference is the ROM online
+    bottleneck there, ~10-30x slower) in f32 with HIGHEST-precision Gram
+    matmuls. Safe because every LSPG system here is J@V = V + O(dt)
+    with near-orthonormal V, so squaring the condition number costs a
+    few digits of a very small number. CPU keeps tall-skinny QR in the
+    run precision (reference-faithful)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return {"ls_dtype": None, "ls_method": "qr"}
+    return {"ls_dtype": default_ls_dtype(f32), "ls_method": "normal"}
+
+
 def make_problem(cfg):
     from finitedifference_tpu.grid import grid_from_config
 
@@ -209,12 +226,13 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     device_ctx = jax.default_device(run_device) if run_device is not None         else contextlib.nullcontext()
 
     t0 = time.time()
-    ls_dt = default_ls_dtype(f32) if run_device is None else None
+    ls_kw = default_ls(f32) if run_device is None \
+        else {"ls_dtype": None, "ls_method": "qr"}
     with device_ctx:
         if weights_full is None:
             decode, dec_jac = manifold_decoder(u_p, u_s, closure)
             res = manifold_rom(grid, y_start, decode, dec_jac, cfg.dt,
-                               num_steps, mu1, mu2, ls_dtype=ls_dt)
+                               num_steps, mu1, mu2, **ls_kw)
         else:
             sample_inds = np.where(weights_full != 0)[0]
             mesh = build_sampled_mesh(grid, sample_inds)
@@ -224,7 +242,7 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
                                num_steps, mu1, mu2, mesh=mesh,
                                sample_weights=jnp.asarray(
                                    weights_full[sample_inds], dtype),
-                               ls_dtype=ls_dt)
+                               **ls_kw)
             decode, _ = manifold_decoder(u_p, u_s, closure)
     red = res.red_coords
     if warm_q1 is not None:

@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-from common import base_parser, default_config, default_ls_dtype, \
+from common import base_parser, default_config, default_ls, \
     get_or_build_basis, make_problem, report, setup_jax, sync
 
 WEIGHTS_PATH = "ecsw_weights_lspg.npy"
@@ -68,7 +68,7 @@ def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
     t0 = time.time()
     res = ecsw_hprom(grid, mesh, sw.astype(dtype), y0,
                      basis_aug.astype(dtype), cfg.dt, cfg.num_steps,
-                     mu1, mu2, ls_dtype=default_ls_dtype(f32))
+                     mu1, mu2, **default_ls(f32))
     rom_snaps = basis @ sync(res.red_coords)
     elapsed = time.time() - t0
 

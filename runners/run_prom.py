@@ -6,7 +6,7 @@ import time
 
 import numpy as np
 
-from common import base_parser, default_config, default_ls_dtype, \
+from common import base_parser, default_config, default_ls, \
     get_or_build_basis, make_problem, report, setup_jax, sync
 
 
@@ -29,7 +29,7 @@ def main(mu1=4.75, mu2=0.02, num_modes=95, load_basis=True,
     t0 = time.time()
     res = lspg_prom(grid, jnp.asarray(w0, dtype), cfg.dt, cfg.num_steps,
                     mu1, mu2, jnp.asarray(basis, dtype),
-                    ls_dtype=default_ls_dtype(f32))
+                    **default_ls(f32))
     rom_snaps = sync(reconstruct(basis.astype(np.float32 if f32
                                               else np.float64),
                                  res.red_coords))

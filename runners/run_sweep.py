@@ -25,6 +25,7 @@ def main(n_mu1=3, n_mu2=3, model="fom", num_modes=95, num_cells=None,
         make_sweep_mesh,
         pad_to_multiple,
         sweep_fom,
+        sweep_hprom,
         sweep_lspg,
     )
 
@@ -44,16 +45,29 @@ def main(n_mu1=3, n_mu2=3, model="fom", num_modes=95, num_cells=None,
     print(f"sweep: {n_real} points ({mus.shape[0]} padded) on {n_dev} "
           f"device(s), model={model}")
 
+    from common import default_ls
+
     w0j = jnp.asarray(w0, dtype)
     if model == "fom":
         run = lambda m: sweep_fom(grid, w0j, cfg.dt, cfg.num_steps, m,
                                   mesh=mesh, engine=engine,
                                   snaps_dtype=jnp.float32)
+    elif model == "hprom":
+        from finitedifference_tpu.rom import prepare_hprom
+
+        basis = get_or_build_basis(cfg, grid, w0, num_modes)
+        weights = np.load("ecsw_weights_lspg.npy")
+        smesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0, dtype)
+        print(f"N_e = {int((weights > 0).sum())}")
+        run = lambda m: sweep_hprom(
+            grid, smesh, sw.astype(dtype), y0, basis_aug.astype(dtype),
+            cfg.dt, cfg.num_steps, m, mesh=mesh, **default_ls(f32))
     else:
         basis = jnp.asarray(
             get_or_build_basis(cfg, grid, w0, num_modes), dtype)
         run = lambda m: sweep_lspg(grid, w0j, cfg.dt, cfg.num_steps, m,
-                                   basis, mesh=mesh)
+                                   basis, mesh=mesh, **default_ls(f32))
 
     # device-side checksum: slice fetches are lazy on the axon backend
     # and would fake the timing
@@ -73,7 +87,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n-mu1", type=int, default=3)
     p.add_argument("--n-mu2", type=int, default=3)
-    p.add_argument("--model", default="fom", choices=["fom", "prom"])
+    p.add_argument("--model", default="fom",
+                   choices=["fom", "prom", "hprom"])
     p.add_argument("--num-modes", type=int, default=95)
     p.add_argument("--num-cells", type=int, default=None)
     p.add_argument("--num-steps", type=int, default=None)

@@ -23,7 +23,9 @@ from finitedifference_tpu.parallel.sweep import (
     make_sweep_mesh,
     pad_to_multiple,
     sweep_fom,
+    sweep_hprom,
     sweep_lspg,
+    sweep_manifold,
 )
 from finitedifference_tpu.pod import pod
 
@@ -65,6 +67,63 @@ class TestSweep:
         np.testing.assert_allclose(np.asarray(red_sh)[:b],
                                    np.asarray(red_pl)[:b],
                                    rtol=1e-11, atol=1e-12)
+
+    def test_sharded_hprom_sweep(self, eight_devices):
+        """Vmapped + sharded HPROM over mu matches serial ecsw_hprom."""
+        from finitedifference_tpu.ecsw import (
+            compute_ecsw_weights,
+            ecsw_training_matrix,
+        )
+        from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
+
+        grid = Grid2D(nx=10, ny=8, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=10, ny=8)
+        w0 = np.ones(grid.state_dim)
+        s = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, 15, ops, xc)
+        basis = np.asarray(pod(s, num_modes=6, method="svd")[0])
+        c = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s[:, 1:15:3]), jnp.asarray(s[:, 0:14:3]),
+            jnp.asarray(basis), 4.25, 0.0225, DT))
+        weights = compute_ecsw_weights(c, grid, bc_w=5.0, method="nnls",
+                                       rel_err_thresh=1e-4)
+        smesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+
+        mus, b = pad_to_multiple(np.array([[4.5, 0.02], [5.0, 0.028],
+                                           [5.19, 0.026]]), 8)
+        mesh = make_sweep_mesh(eight_devices)
+        red_sh = sweep_hprom(grid, smesh, sw, y0, basis_aug, DT, 8, mus,
+                             mesh=mesh)
+        assert red_sh.shape == (8, basis.shape[1], 9)
+        for i in range(b):
+            serial = ecsw_hprom(grid, smesh, sw, y0, basis_aug, DT, 8,
+                                mus[i, 0], mus[i, 1]).red_coords
+            np.testing.assert_allclose(np.asarray(red_sh[i]),
+                                       np.asarray(serial),
+                                       rtol=1e-11, atol=1e-12)
+
+    def test_manifold_sweep(self, eight_devices):
+        """Vmapped manifold-ROM sweep (linear decoder degenerate case)
+        matches lspg_prom point-by-point."""
+        from finitedifference_tpu.closures.common import manifold_decoder
+        from finitedifference_tpu.rom import lspg_prom
+        from finitedifference_tpu.parallel.sweep import sweep_manifold
+
+        grid = Grid2D(nx=8, ny=8, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=8, ny=8)
+        w0 = np.ones(grid.state_dim)
+        s = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, 10, ops, xc)
+        basis = np.asarray(pod(s, num_modes=5, method="svd")[0])
+        decode, dec_jac = manifold_decoder(basis, None, None)
+        y0 = jnp.asarray(basis.T @ w0)
+        mus = np.array([[4.5, 0.02], [5.0, 0.028]])
+        red = sweep_manifold(grid, y0, decode, dec_jac, DT, 6, mus)
+        for i in range(2):
+            want = lspg_prom(grid, jnp.asarray(w0), DT, 6, mus[i, 0],
+                             mus[i, 1], jnp.asarray(basis)).red_coords
+            np.testing.assert_allclose(np.asarray(red[i]),
+                                       np.asarray(want),
+                                       rtol=1e-10, atol=1e-11)
 
     def test_pad_to_multiple(self):
         mus, b = pad_to_multiple(np.ones((3, 2)), 8)
