@@ -1,11 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: FOM timesteps/sec on the reference's fine grid (750x750,
-1.125M DoF, implicit CN + Newton), float64 — apples-to-apples with the
-baseline: the reference FOM runs 500 steps in ~2.44e4 s on a 24-thread
-CPU node = 0.0205 steps/s (BASELINE.md, BurgersFD_CleanFine logs).
+"""Benchmark suite. Headline: FOM timesteps/sec on the reference's fine
+grid (750x750, 1.125M DoF, implicit CN + Newton) — apples-to-apples with
+the baseline: the reference FOM runs 500 steps in ~2.44e4 s on a
+24-thread CPU node = 0.0205 steps/s (BASELINE.md, BurgersFD_CleanFine
+logs). Precision caveat (ADVICE r1): Newton residuals/tolerance are f64
+(relative 1e-12, the reference cutoff) but the inner triangular solves
+are f32 Pallas and the stored trajectory is f32 — mixed-precision
+inexact Newton, trajectories match full-f64 to ~6e-17 (RESULTS.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Extra context goes to stderr.
+Also measures the reduced-model economics (VERDICT r1 #8): LSPG PROM and
+ECSW HPROM online rates at the coarse workbench scale (250^2, f32
+online — f64 matches to ~1e-7 but is emulated on TPU), a vmapped
+9-point HPROM sweep, and an HBM bandwidth-utilization estimate for the
+FOM hot loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Reduced-model metrics ride in the "extra" field. Context goes to stderr.
 """
 
 import json
@@ -16,12 +26,12 @@ import time
 import numpy as np
 
 BASELINE_STEPS_PER_SEC = 0.0205   # reference 750^2 FOM (BASELINE.md)
+# v5e lite HBM bandwidth ~819 GB/s; used only for the utilization note
+HBM_PEAK_GBPS = 819.0
 
 
-def _sync(x):
-    """Force materialization — on the axon TPU platform
-    block_until_ready can return early, so fetch a slice instead."""
-    return np.asarray(x)
+def _stderr(*a):
+    print(*a, file=sys.stderr, flush=True)
 
 
 def main():
@@ -38,6 +48,8 @@ def main():
                           1.0)
     except Exception:
         pass
+    import functools
+
     import jax.numpy as jnp
 
     from finitedifference_tpu.fom import (
@@ -48,20 +60,17 @@ def main():
     n = int(os.environ.get("BENCH_CELLS", "750"))
     warm_steps = int(os.environ.get("BENCH_WARM_STEPS", "5"))
     meas_steps = int(os.environ.get("BENCH_MEAS_STEPS", "100"))
+    skip_roms = os.environ.get("BENCH_SKIP_ROMS", "") == "1"
     dt = 0.05
 
     dev = jax.devices()[0]
-    print(f"bench: device={dev}, grid={n}x{n}, dtype=float64, "
-          f"{meas_steps} measured steps", file=sys.stderr)
+    _stderr(f"bench: device={dev}, grid={n}x{n}, f64 Newton + f32 "
+            f"solves/storage, {meas_steps} measured steps")
 
     grid = Grid2D(nx=n, ny=n, x_up=100.0, y_up=100.0)
     w0 = jnp.ones(grid.state_dim, jnp.float64)
 
-    import functools
-
-    # skewed-coordinate engine: f64 Newton (relative residual 1e-12,
-    # the reference tolerance) with single-kernel Pallas f32 triangular
-    # solves — mixed-precision inexact Newton, f64-grade trajectories.
+    # ---------------- headline: 750^2 FOM ----------------
     # The full trajectory is materialized on device and checksummed; only
     # the scalar crosses to the host (this dev environment tunnels
     # device->host at ~24 MB/s, which would otherwise swamp the timing;
@@ -79,28 +88,139 @@ def main():
 
     t0 = time.time()
     run(4.75, warm_steps)
-    print(f"bench: warmup (compile) {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    _stderr(f"bench: warmup (compile) {time.time() - t0:.1f}s")
 
     # median of 3: the shared dev chip shows up to 4x run-to-run
     # variance under ambient load
-    rates = []
+    rates, newton_its = [], 0
     for rep in range(3):
         t0 = time.time()
         its = int(run(4.76 + rep * 1e-4, meas_steps))
         elapsed = time.time() - t0
         rates.append(meas_steps / elapsed)
-        print(f"bench: rep {rep}: {meas_steps} steps in {elapsed:.2f}s, "
-              f"{its} Newton its ({its / meas_steps:.1f}/step)",
-              file=sys.stderr)
+        newton_its = its
+        _stderr(f"bench: rep {rep}: {meas_steps} steps in {elapsed:.2f}s, "
+                f"{its} Newton its ({its / meas_steps:.1f}/step)")
     rate = sorted(rates)[1]
+
+    # HBM bandwidth-utilization estimate for the FOM hot loop: per Newton
+    # iteration the skewed engine reads/writes ~14 field-sized f32 arrays
+    # (residual stencils, two wavefront solves, state updates); this is a
+    # traffic model, not a measurement — serves the role of MFU for a
+    # bandwidth-bound stencil code (the MXU is idle in the FOM).
+    field_bytes = grid.n_cells * 4
+    bytes_per_it = 14 * 2 * field_bytes          # u and v components
+    gbps = rate * (newton_its / meas_steps) * bytes_per_it / 1e9
+    extra = {
+        "precision": "f64_newton_f32_solve_f32_snaps",
+        "fom_newton_its_per_step": round(newton_its / meas_steps, 2),
+        "fom_hbm_traffic_gbps_model": round(gbps, 1),
+        "fom_hbm_utilization_pct_model": round(100 * gbps / HBM_PEAK_GBPS,
+                                               1),
+    }
+
+    # ---------------- reduced models at 250^2, f32 online ----------------
+    if not skip_roms:
+        try:
+            extra.update(rom_metrics(dt))
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            _stderr(f"bench: ROM metrics skipped ({type(e).__name__}: "
+                    f"{str(e)[:200]})")
 
     print(json.dumps({
         "metric": f"fom_timesteps_per_sec_{n}x{n}_f64",
         "value": round(rate, 4),
         "unit": "timesteps/s",
         "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 2),
+        "extra": extra,
     }))
+
+
+def rom_metrics(dt, steps=500):
+    """PROM / HPROM online rates at 250^2 + vmapped HPROM sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.fom import inviscid_burgers_implicit2d_skewed
+    from finitedifference_tpu.grid import Grid2D
+    from finitedifference_tpu.parallel.sweep import sweep_hprom
+    from finitedifference_tpu.pod import pod
+    from finitedifference_tpu.rom import ecsw_hprom, lspg_prom, prepare_hprom
+
+    f32 = jnp.float32
+    grid = Grid2D(nx=250, ny=250, x_up=100.0, y_up=100.0)
+    w0 = jnp.ones(grid.state_dim, f32)
+    out = {}
+
+    # basis: from disk when the offline artifact exists, else a quick
+    # single-trajectory POD built entirely on device (PROM throughput is
+    # basis-agnostic; only the error, which bench does not report, isn't)
+    if os.path.exists("basis.npy"):
+        basis = jnp.asarray(np.load("basis.npy")[:, :95], f32)
+        _stderr("bench: PROM basis from basis.npy")
+    else:
+        r = inviscid_burgers_implicit2d_skewed(
+            grid, jnp.ones(grid.state_dim, jnp.float64), dt, steps,
+            4.25, 0.0225, snaps_dtype=f32)
+        basis, _ = pod(r.snaps, num_modes=95, method="rsvd",
+                       random_state=0)
+        basis = jnp.asarray(basis, f32)
+        _stderr("bench: PROM basis from a fresh single-trajectory POD")
+
+    def timed(fn, reps=3):
+        fn()   # compile + settle
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return sorted(ts)[reps // 2]
+
+    el = timed(lambda: float(jnp.sum(lspg_prom(
+        grid, w0, dt, steps, 4.75, 0.02, basis,
+        ls_method="normal").red_coords)))
+    out["prom95_250_f32_timesteps_per_sec"] = round(steps / el, 1)
+    _stderr(f"bench: PROM(95) 250^2 f32: {el:.3f}s / {steps} steps")
+
+    if os.path.exists("ecsw_weights_lspg.npy"):
+        weights = np.load("ecsw_weights_lspg.npy")
+        out["hprom_mesh"] = "ecsw_weights_lspg.npy"
+    else:
+        # synthetic sampled mesh: online THROUGHPUT depends only on the
+        # mesh size, not the weight values; N_e matches the round-1 NNLS
+        # support scale. GN convergence differs, so cap its like the real
+        # runs' observed ~2/step is NOT assumed — max_its stays 20 and
+        # the reported rate is conservative.
+        rng = np.random.default_rng(0)
+        weights = np.zeros(grid.n_cells)
+        ring = np.zeros((250, 250), dtype=bool)
+        ring[1:-1, 1:-1] = True
+        interior = np.flatnonzero(ring.ravel())
+        weights[rng.choice(interior, 512, replace=False)] = 1.0
+        weights[~ring.ravel()] = 50.0
+        out["hprom_mesh"] = "synthetic_512"
+    mesh, sw, basis_aug = prepare_hprom(grid, weights, np.asarray(basis))
+    y0 = jnp.asarray(basis.T @ w0, f32)
+    sw32, ba32 = sw.astype(f32), jnp.asarray(basis_aug, f32)
+
+    el = timed(lambda: float(jnp.sum(ecsw_hprom(
+        grid, mesh, sw32, y0, ba32, dt, steps, 4.75, 0.02,
+        ls_method="normal").red_coords)))
+    out["hprom_250_f32_timesteps_per_sec"] = round(steps / el, 1)
+    _stderr(f"bench: HPROM 250^2 f32 (N_e={mesh.n_sample}): "
+            f"{el:.3f}s / {steps} steps")
+
+    mus = jnp.asarray(np.array(
+        [[m1, m2] for m1 in (4.4, 4.9, 5.4) for m2 in (.016, .022, .028)]),
+        f32)
+    el = timed(lambda: float(jnp.sum(sweep_hprom(
+        grid, mesh, sw32, y0, ba32, dt, steps, mus,
+        ls_method="normal"))))
+    out["hprom_sweep9_250_f32_aggregate_timesteps_per_sec"] = \
+        round(9 * steps / el, 1)
+    _stderr(f"bench: HPROM 9-point vmapped sweep: {el:.3f}s "
+            f"({9 * steps / el:.0f} agg steps/s)")
+    return out
 
 
 if __name__ == "__main__":

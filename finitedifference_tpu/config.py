@@ -64,7 +64,15 @@ class BurgersConfig:
         return [[float(m1), float(m2)] for m1 in mu1s for m2 in mu2s]
 
     def with_cells(self, n: int) -> "BurgersConfig":
-        return dataclasses.replace(self, num_cells_x=n, num_cells_y=n)
+        """Resolution variant. The reference keeps one directory tree per
+        resolution (BurgersFD_CleanCoarse/Fine/TestAE), each with its own
+        param_snaps/; here the snapshot cache moves to a per-resolution
+        folder instead, so 250^2 and 750^2 trajectories for the same mu
+        never collide on the filename-only protocol."""
+        folder = self.snap_folder if n == self.num_cells_x \
+            else f"param_snaps_{n}x{n}"
+        return dataclasses.replace(self, num_cells_x=n, num_cells_y=n,
+                                   snap_folder=folder)
 
 
 DEFAULT_CONFIG = BurgersConfig()

@@ -31,11 +31,14 @@ def get_saved_params(snap_folder: str = "param_snaps") -> set:
 
 
 def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
-                          snap_folder: str = "param_snaps") -> np.ndarray:
+                          snap_folder: str = "param_snaps",
+                          snaps_dtype=None) -> np.ndarray:
     """Load cached FOM snapshots, else run the implicit FOM and cache.
 
-    Returns (2n, num_steps+1) float64 ndarray, identical layout and
-    filename protocol to the reference (hypernet2D.py:3111-3145).
+    Returns (2n, num_steps+1) ndarray (float64 unless `snaps_dtype`
+    narrows the *stored* trajectory — the Newton solve itself always
+    runs at w0's precision), identical layout and filename protocol to
+    the reference (hypernet2D.py:3111-3145).
     """
     import jax
     import jax.numpy as jnp
@@ -56,11 +59,11 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
         # faster on TPU (mixed-precision inexact Newton)
         res = inviscid_burgers_implicit2d_skewed(
             grid, jnp.asarray(w0), float(dt), num_steps,
-            float(mu[0]), float(mu[1]))
+            float(mu[0]), float(mu[1]), snaps_dtype=snaps_dtype)
     else:
         res = inviscid_burgers_implicit2d(
             grid, jnp.asarray(w0), dt, num_steps,
-            float(mu[0]), float(mu[1]))
+            float(mu[0]), float(mu[1]), snaps_dtype=snaps_dtype)
     snaps = np.asarray(res.snaps)
     print(f"Computed FOM snaps for mu1={mu[0]}, mu2={mu[1]} in "
           f"{time.time() - t0:.3e} s ({int(res.total_newton_its)} Newton its)")

@@ -60,7 +60,7 @@ def _train_epoch(module: RNM_NN, opt, params, opt_state, q_p, q_s, key,
         p, s = carry
         x, y = batch
         loss, g = jax.value_and_grad(loss_fn)(p, x, y)
-        updates, s = opt.update(g, s, p, value=loss)
+        updates, s = opt.update(g, s, p)
         return (optax.apply_updates(p, updates), s), loss
 
     (params, opt_state), losses = jax.lax.scan(
@@ -74,14 +74,27 @@ def _eval_loss(module: RNM_NN, params, q_p, q_s):
     return jnp.mean((pred - q_s) ** 2)
 
 
-def train_rnm(q_p, q_s, *, epochs: int = 2000, lr: float = 1e-3,
+def train_rnm(q_p, q_s, *, epochs: int = 5000, lr: float = 1e-3,
               batch_size: int = 16, train_frac: float = 0.9,
-              patience: int = 100, seed: int = 1234557,
+              patience: int = 500, seed: int = 1234557,
               model_path: str = "rnm_model.msgpack",
-              plateau_patience: int = 50, plateau_factor: float = 0.5,
+              plateau_patience: int = 100, plateau_factor: float = 0.5,
+              plateau_threshold: float = 1e-4, min_lr: float = 1e-7,
               train_dtype="float32",
               verbose: bool = False) -> Tuple[RNM_NN, dict, TrainingMonitor]:
-    """Train the RNM closure network. Returns (module, params, monitor)."""
+    """Train the RNM closure network. Returns (module, params, monitor).
+
+    Scheduling matches the reference exactly
+    (train_reduced_manifold_autoencoder.py:191-207 + config: EPOCHS=5000,
+    LR_INIT=1e-3, LR_PATIENCE=100, COMPLETION_PATIENCE=500, BATCH_SIZE=16):
+    Adam with a ReduceLROnPlateau stepped ONCE PER EPOCH on the
+    validation loss (torch semantics: relative improvement threshold
+    1e-4, patience counted in epochs). An earlier revision chained
+    optax.contrib.reduce_on_plateau into the per-minibatch update, which
+    counts *batches* — at ~250 batches/epoch the LR collapsed hundreds
+    of times faster than the reference's schedule and the net
+    underfitted (round-1 RNM error 6.4-6.9% vs the <=3% target).
+    """
     q_p = np.asarray(q_p)
     q_s = np.asarray(q_s)
     rng = np.random.default_rng(seed)
@@ -97,27 +110,40 @@ def train_rnm(q_p, q_s, *, epochs: int = 2000, lr: float = 1e-3,
     module, params = init_rnm(q_p.shape[1], q_s.shape[1],
                               key=jax.random.PRNGKey(seed),
                               dtype=qp_tr.dtype)
-    # Adam + reduce-on-plateau, the reference's scheduler pairing
-    opt = optax.chain(
-        optax.adam(lr),
-        optax.contrib.reduce_on_plateau(
-            patience=plateau_patience, factor=plateau_factor),
-    )
+    # learning rate lives in opt_state.hyperparams so the host-side
+    # epoch loop can anneal it without retracing _train_epoch
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     opt_state = opt.init(params)
     monitor = TrainingMonitor(model_path, patience)
     key = jax.random.PRNGKey(seed + 1)
 
+    cur_lr = lr
+    plateau_best = np.inf
+    plateau_stale = 0
     batch_size = min(batch_size, n_train)
     for epoch in range(epochs):
         key, sub = jax.random.split(key)
         params, opt_state, train_loss = _train_epoch(
             module, opt, params, opt_state, qp_tr, qs_tr, sub, batch_size)
-        val_loss = _eval_loss(module, params, qp_va, qs_va) \
-            if va.size else train_loss
+        val_loss = float(_eval_loss(module, params, qp_va, qs_va)) \
+            if va.size else float(train_loss)
+        # torch ReduceLROnPlateau(mode='min', threshold_mode='rel')
+        if val_loss < plateau_best * (1.0 - plateau_threshold):
+            plateau_best = val_loss
+            plateau_stale = 0
+        else:
+            plateau_stale += 1
+            if plateau_stale > plateau_patience and cur_lr > min_lr:
+                cur_lr = max(cur_lr * plateau_factor, min_lr)
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    cur_lr, qp_tr.dtype)
+                plateau_stale = 0
+                if verbose:
+                    print(f"  epoch {epoch}: lr -> {cur_lr:.2e}")
         if verbose and epoch % 50 == 0:
             print(f"  epoch {epoch}: train {float(train_loss):.3e} "
-                  f"val {float(val_loss):.3e}")
-        if monitor.check_for_completion(float(train_loss), float(val_loss),
+                  f"val {val_loss:.3e} lr {cur_lr:.2e}")
+        if monitor.check_for_completion(float(train_loss), val_loss,
                                         params):
             break
 

@@ -89,12 +89,19 @@ def default_config(num_cells: int | None = None, num_steps: int | None = None):
 
 
 def get_or_build_basis(cfg, grid, w0, num_modes: int,
-                       path: str = "basis.npy", method: str = "rsvd",
+                       path: str = None, method: str = "rsvd",
                        load_basis: bool = True):
     """basis.npy protocol (reference run_prom.py:44-120): load if present,
-    else collect the 9 training trajectories, rSVD, save."""
+    else collect the 9 training trajectories, rSVD, save. Non-default
+    resolutions get their own basis file (the reference keeps one dir
+    tree per resolution; a 750^2 basis must never shadow the 250^2 one).
+    """
     from finitedifference_tpu.pod import pod
     from finitedifference_tpu.snapshots import collect_snapshots
+
+    if path is None:
+        path = "basis.npy" if cfg.num_cells_x == 250 \
+            else f"basis_{cfg.num_cells_x}x{cfg.num_cells_y}.npy"
 
     if load_basis and os.path.exists(path):
         full = np.load(path, allow_pickle=True)
@@ -146,7 +153,7 @@ def sync(x):
 
 
 def split_training(cfg, grid, w0, num_total: int, num_primary: int,
-                   num_secondary: int | None = None, basis_path="basis.npy",
+                   num_secondary: int | None = None, basis_path=None,
                    max_pairs: int = 1500):
     """POD split + projected training pairs for all closure ROMs.
 

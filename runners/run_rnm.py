@@ -10,7 +10,7 @@ MODEL_PATH = "rnm_model.msgpack"
 
 
 def get_rnm_closure(cfg, grid, w0, num_primary, num_secondary,
-                    model_path=MODEL_PATH, epochs=1000, retrain=False):
+                    model_path=MODEL_PATH, epochs=5000, retrain=False):
     import jax.numpy as jnp
 
     from finitedifference_tpu.closures.ann import init_rnm, rnm_closure
@@ -26,7 +26,7 @@ def get_rnm_closure(cfg, grid, w0, num_primary, num_secondary,
     if retrain or not os.path.exists(model_path):
         module, params, _ = train_rnm(
             q_p, q_s, epochs=epochs, batch_size=cfg.batch_size,
-            train_frac=cfg.train_frac, patience=300, seed=cfg.seed,
+            train_frac=cfg.train_frac, patience=500, seed=cfg.seed,
             model_path=model_path, verbose=True)
     else:
         module, params0 = init_rnm(num_primary, num_secondary,
@@ -36,7 +36,7 @@ def get_rnm_closure(cfg, grid, w0, num_primary, num_secondary,
 
 
 def main(mu1=4.75, mu2=0.02, num_primary=10, num_secondary=140,
-         epochs=3000, retrain=False, num_cells=None, num_steps=None,
+         epochs=5000, retrain=False, num_cells=None, num_steps=None,
          f32=False):
     setup_jax(f32)
     cfg = default_config(num_cells, num_steps)
@@ -52,7 +52,7 @@ if __name__ == "__main__":
     p = base_parser(__doc__)
     p.add_argument("--num-primary", type=int, default=10)
     p.add_argument("--num-secondary", type=int, default=140)
-    p.add_argument("--epochs", type=int, default=3000)
+    p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--retrain", action="store_true")
     a = p.parse_args()
     main(a.mu1, a.mu2, a.num_primary, a.num_secondary, a.epochs,

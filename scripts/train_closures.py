@@ -1,0 +1,79 @@
+"""Offline closure-training pipeline (run with JAX_PLATFORMS=cpu).
+
+Builds the shared 150-mode f64 basis and trains every closure model the
+validation drivers need: global-RBF, RNM MLP, GP. Idempotent unless
+--retrain. Mirrors the reference's offline stages
+(compute_global_weights_grid_search_with_kernels.py,
+train_reduced_manifold_autoencoder.py, POD-GP/train_gp.py).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "runners")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from common import default_config, make_problem, split_training  # noqa: E402
+
+p = argparse.ArgumentParser()
+p.add_argument("--retrain", action="store_true")
+p.add_argument("--skip", nargs="*", default=[],
+               choices=["rbf", "rnm", "gp"])
+args = p.parse_args()
+
+cfg = default_config()
+grid, w0 = make_problem(cfg)
+
+t0 = time.time()
+u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+print(f"basis + projections ready in {time.time() - t0:.1f}s "
+      f"(q_p {q_p.shape} {q_p.dtype})", flush=True)
+
+if "rbf" not in args.skip:
+    from finitedifference_tpu.training.rbf_train import (
+        save_global_rbf, train_global_rbf)
+
+    if args.retrain or not os.path.exists("pod_rbf_global_model.npz"):
+        t0 = time.time()
+        model, log = train_global_rbf(q_p, q_s, seed=cfg.seed, verbose=True)
+        print(f"global-RBF grid search best: {log['best']} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+        save_global_rbf(model, "pod_rbf_global_model.npz")
+
+if "rnm" not in args.skip:
+    from finitedifference_tpu.training.rnm_train import (
+        project_snapshots, train_rnm)
+    from finitedifference_tpu.snapshots import collect_snapshots
+
+    if args.retrain or not os.path.exists("rnm_model.msgpack"):
+        # the MLP regression is cheap: use ALL projected pairs
+        snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
+                                  cfg.num_steps, snap_folder=cfg.snap_folder)
+        basis = np.load("basis.npy")
+        qp_all, qs_all = project_snapshots(basis, snaps.T, 10, 140)
+        del snaps
+        t0 = time.time()
+        module, params, mon = train_rnm(
+            qp_all, qs_all, batch_size=cfg.batch_size,
+            train_frac=cfg.train_frac, seed=cfg.seed,
+            model_path="rnm_model.msgpack", verbose=True)
+        print(f"RNM trained in {time.time() - t0:.1f}s", flush=True)
+
+if "gp" not in args.skip:
+    from finitedifference_tpu.training.gp_train import save_gp, train_gp
+
+    if args.retrain or not os.path.exists("pod_gp_model.npz"):
+        t0 = time.time()
+        model = train_gp(q_p[::4], q_s[::4], verbose=True)
+        print(f"GP trained in {time.time() - t0:.1f}s", flush=True)
+        save_gp(model, "pod_gp_model.npz")
+
+print("CLOSURE TRAINING DONE")
