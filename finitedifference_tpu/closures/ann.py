@@ -20,15 +20,22 @@ from finitedifference_tpu.closures.common import Closure
 
 
 class RNM_NN(nn.Module):
-    """ELU MLP with the reference architecture (models.py:13-27)."""
+    """ELU MLP with the reference architecture (models.py:13-27).
+
+    Dense layers run at HIGHEST matmul precision: under jacfwd (the
+    decoder Jacobian) and vmap the layer GEMVs become GEMMs, whose
+    bf16-default accumulation on TPU is inaccurate (precision.py)."""
     q2_size: int
     hidden: Sequence[int] = (32, 64, 128, 256, 256)
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
+        hi = jax.lax.Precision.HIGHEST
         for h in self.hidden:
-            x = nn.elu(nn.Dense(h)(x))
-        return nn.Dense(self.q2_size)(x)
+            x = nn.elu(nn.Dense(h, precision=hi)(x))
+        return nn.Dense(self.q2_size, precision=hi)(x)
 
 
 def rnm_closure(module: RNM_NN, params) -> Closure:

@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 
+_HI = jax.lax.Precision.HIGHEST   # true-f32 GEMMs on TPU (precision.py)
+
+
 class Encoder(nn.Module):
     latent_dim: int
     hidden: Sequence[int] = (512, 256, 128, 64)
@@ -26,8 +29,8 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         for h in self.hidden:
-            x = nn.relu(nn.Dense(h)(x))
-        return nn.Dense(self.latent_dim)(x)
+            x = nn.relu(nn.Dense(h, precision=_HI)(x))
+        return nn.Dense(self.latent_dim, precision=_HI)(x)
 
 
 class Decoder(nn.Module):
@@ -37,8 +40,8 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         for h in self.hidden:
-            z = nn.relu(nn.Dense(h)(z))
-        return nn.Dense(self.output_dim)(z)
+            z = nn.relu(nn.Dense(h, precision=_HI)(z))
+        return nn.Dense(self.output_dim, precision=_HI)(z)
 
 
 class Autoencoder(nn.Module):

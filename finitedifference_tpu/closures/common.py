@@ -82,14 +82,19 @@ def manifold_decoder(basis, basis2, closure: Optional[Closure],
     optional reference-state offset (the snapshot-centering vector some
     reference training pipelines subtract, train_utils.py:120-127).
     """
+    from finitedifference_tpu.precision import hi_matmul
+
     basis = jnp.asarray(basis)
     basis2 = jnp.asarray(basis2) if basis2 is not None else None
     ref = jnp.asarray(ref) if ref is not None else None
 
+    # all matmuls at HIGHEST precision: dec_jac's U_s @ J_closure is a
+    # true GEMM whose bf16-default accumulation on TPU corrupts the
+    # Gauss-Newton direction (see finitedifference_tpu/precision.py)
     def decode(y):
-        w = basis @ y
+        w = hi_matmul(basis, y)
         if closure is not None:
-            w = w + basis2 @ closure.predict(y)
+            w = w + hi_matmul(basis2, closure.predict(y))
         if ref is not None:
             w = w + ref
         return w
@@ -97,6 +102,6 @@ def manifold_decoder(basis, basis2, closure: Optional[Closure],
     def dec_jac(y, w=None):
         if closure is None:
             return basis
-        return basis + basis2 @ closure.jacobian(y)
+        return basis + hi_matmul(basis2, closure.jacobian(y))
 
     return decode, dec_jac

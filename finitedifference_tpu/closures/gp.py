@@ -22,6 +22,7 @@ import numpy as np
 import optax
 
 from finitedifference_tpu.closures.common import Closure, MinMaxScaler
+from finitedifference_tpu.precision import hi_matmul
 
 
 def matern32(xa, xb, length_scale, amplitude=1.0):
@@ -105,7 +106,7 @@ def gp_predict(model: GPModel, y):
     x = model.scaler.transform(y)
     k_vec = matern32(model.x_train, x[None, :], model.length_scale,
                      model.amplitude)[:, 0]
-    return k_vec @ model.alpha
+    return hi_matmul(k_vec, model.alpha)
 
 
 def gp_jacobian(model: GPModel, y):
@@ -119,12 +120,20 @@ def gp_jacobian(model: GPModel, y):
     s = jnp.sqrt(3.0) * r / model.length_scale
     dk = (-3.0 * model.amplitude / model.length_scale**2) \
         * jnp.exp(-s)[:, None] * diff            # (N, n_p)
-    jac_scaled = model.alpha.T @ dk              # (n_s, n_p)
+    jac_scaled = hi_matmul(model.alpha.T, dk)    # (n_s, n_p)
     return jac_scaled * model.scaler.scale_[None, :]
 
 
 def gp_closure(model: GPModel) -> Closure:
-    return Closure(
-        predict=functools.partial(gp_predict, model),
-        jacobian=functools.partial(gp_jacobian, model),
-    )
+    """Precision bridge (see closures/rbf.py::global_rbf_closure): the
+    k-vector @ alpha contraction cancels heavily; it runs at the model
+    dtype (f64 under x64) independent of the solver dtype."""
+    cd = jnp.asarray(model.alpha).dtype
+
+    def predict(y):
+        return gp_predict(model, y.astype(cd)).astype(y.dtype)
+
+    def jacobian(y):
+        return gp_jacobian(model, y.astype(cd)).astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jacobian)

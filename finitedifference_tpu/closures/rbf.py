@@ -17,7 +17,6 @@ s = sqrt(3) e r.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -25,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from finitedifference_tpu.closures.common import Closure, MinMaxScaler
+from finitedifference_tpu.precision import hi_matmul
 
 
 # --------------------------------------------------------------------------
@@ -121,7 +121,7 @@ def rbf_global_predict(model: GlobalRBF, y):
     phi, _ = _get_kernel(model.kernel)
     x = model.scaler.transform(y)
     r = jnp.linalg.norm(model.q_p_train - x[None, :], axis=1)
-    return phi(r, model.epsilon) @ model.w_global
+    return hi_matmul(phi(r, model.epsilon), model.w_global)
 
 
 def rbf_global_jacobian(model: GlobalRBF, y):
@@ -132,15 +132,28 @@ def rbf_global_jacobian(model: GlobalRBF, y):
     diff = x[None, :] - model.q_p_train          # (n_train, n_p)
     r = jnp.linalg.norm(diff, axis=1)
     dphi = dr_over_r(r, model.epsilon)[:, None] * diff   # (n_train, n_p)
-    jac_norm = model.w_global.T @ dphi           # (n_s, n_p)
+    jac_norm = hi_matmul(model.w_global.T, dphi)  # (n_s, n_p)
     return jac_norm * model.scaler.scale_[None, :]
 
 
 def global_rbf_closure(model: GlobalRBF) -> Closure:
-    return Closure(
-        predict=functools.partial(rbf_global_predict, model),
-        jacobian=functools.partial(rbf_global_jacobian, model),
-    )
+    """Closure with a precision bridge: the kernel-weight contraction
+    runs at the MODEL's dtype (f64 when trained/loaded under x64)
+    regardless of the solver dtype. The evaluation phi(r) @ W cancels by
+    ~5e5 (measured: even exact-f32 accumulation is ~0.7% off while the
+    interpolant itself is accurate), so an f32 online solve must not
+    drag the closure core down to f32 — these are O(n_train x n_s) ops,
+    negligible even under TPU f64 emulation. The reference is all-f64
+    NumPy and never faces the choice (rbf_utils.py:1272-1610)."""
+    cd = jnp.asarray(model.w_global).dtype
+
+    def predict(y):
+        return rbf_global_predict(model, y.astype(cd)).astype(y.dtype)
+
+    def jacobian(y):
+        return rbf_global_jacobian(model, y.astype(cd)).astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jacobian)
 
 
 def fit_global_rbf(q_p_train, q_s_train, epsilon, kernel: str = "gaussian",
@@ -214,7 +227,7 @@ def rbf_knn_predict(model: KNNRBF, y):
     w_loc = _knn_local_weights(model, xk, yk)
     phi, _ = _get_kernel(model.kernel)
     r = jnp.linalg.norm(xk - x[None, :], axis=1)
-    return phi(r, model.epsilon) @ w_loc
+    return hi_matmul(phi(r, model.epsilon), w_loc)
 
 
 def rbf_knn_jacobian(model: KNNRBF, y):
@@ -227,15 +240,22 @@ def rbf_knn_jacobian(model: KNNRBF, y):
     diff = x[None, :] - xk
     r = jnp.linalg.norm(diff, axis=1)
     dpsi = dr_over_r(r, model.epsilon)[:, None] * diff   # (k, n_p)
-    jac_norm = w_loc.T @ dpsi                            # (n_s, n_p)
+    jac_norm = hi_matmul(w_loc.T, dpsi)                  # (n_s, n_p)
     return jac_norm * model.scaler.scale_[None, :]
 
 
 def knn_rbf_closure(model: KNNRBF) -> Closure:
-    return Closure(
-        predict=functools.partial(rbf_knn_predict, model),
-        jacobian=functools.partial(rbf_knn_jacobian, model),
-    )
+    """Precision bridge as in global_rbf_closure: the local kernel solve
+    + contraction run at the model dtype (f64 under x64)."""
+    cd = jnp.asarray(model.q_p_train).dtype
+
+    def predict(y):
+        return rbf_knn_predict(model, y.astype(cd)).astype(y.dtype)
+
+    def jacobian(y):
+        return rbf_knn_jacobian(model, y.astype(cd)).astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jacobian)
 
 
 def fit_knn_rbf(q_p_train, q_s_train, epsilon, neighbors: int,

@@ -29,6 +29,7 @@ from finitedifference_tpu.ops.stencil import (
     jacobian_times_basis,
     source_term,
 )
+from finitedifference_tpu.precision import hi_matmul
 from finitedifference_tpu.solvers import gauss_newton
 
 
@@ -59,7 +60,9 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
     src = source_term(grid, mu2, dt, dtype=w0.dtype)
     lbc = inflow_bc_term(grid, mu1, dt, dtype=w0.dtype)
 
-    decode = lambda y: basis @ y
+    # hi_matmul: the decode GEMV becomes a GEMM under vmapped sweeps,
+    # where the bf16-default TPU accumulation is inaccurate (precision.py)
+    decode = lambda y: hi_matmul(basis, y)
     dec_jac = lambda y, w: basis
     jac_apply = lambda w, v: jacobian_times_basis(w, v, dt, grid)
 
@@ -71,10 +74,10 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
                            max_its=max_its, relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
                            ls_method=ls_method)
-        w = basis @ out.y
+        w = decode(out.y)
         return (out.y, w, its + out.num_its), out.y
 
-    w0p = basis @ y0
+    w0p = hi_matmul(basis, y0)
     (_, _, its), ys = jax.lax.scan(
         step, (y0, w0p, jnp.int32(0)), None, length=num_steps)
     red = jnp.concatenate((y0[None, :], ys), axis=0).T
@@ -83,7 +86,7 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
 
 def reconstruct(basis, red_coords) -> jnp.ndarray:
     """Full-state snapshots from reduced coordinates: (2n, T+1)."""
-    return jnp.asarray(basis) @ jnp.asarray(red_coords)
+    return hi_matmul(jnp.asarray(basis), jnp.asarray(red_coords))
 
 
 @functools.partial(
@@ -122,7 +125,7 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
     lbc = sampled_inflow_bc(mesh, grid, mu1, dt, dtype)
     wgt = jnp.concatenate((sample_weights, sample_weights)).astype(dtype)
 
-    decode = lambda y: basis_aug @ y
+    decode = lambda y: hi_matmul(basis_aug, y)
     dec_jac = lambda y, w: basis_aug
     jac_apply = lambda w, v: sampled_jacobian_times_basis(
         w, v, dt, grid, mesh)
@@ -136,10 +139,10 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
                            relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
                            ls_method=ls_method)
-        w = basis_aug @ out.y
+        w = decode(out.y)
         return (out.y, w, its + out.num_its), out.y
 
-    w0_aug = basis_aug @ y0
+    w0_aug = hi_matmul(basis_aug, y0)
     (_, _, its), ys = jax.lax.scan(
         step, (y0, w0_aug, jnp.int32(0)), None, length=num_steps)
     red = jnp.concatenate((y0[None, :], ys), axis=0).T

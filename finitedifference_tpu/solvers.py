@@ -52,14 +52,18 @@ def lstsq_qr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Least-squares via reduced QR — tall-skinny friendly (MXU matmul +
     small triangular solve). Assumes full column rank (J@V ≈ V + O(dt)).
     Underdetermined systems (m < n, e.g. a sampled mesh smaller than the
-    basis) fall back to the min-norm solution via QR of a^T."""
+    basis) fall back to the min-norm solution via QR of a^T. Projection
+    matmuls run at HIGHEST precision (bf16-default GEMMs on TPU corrupt
+    the projected RHS; see finitedifference_tpu/precision.py)."""
+    hi = jax.lax.Precision.HIGHEST
     m, n = a.shape
     if m >= n:
         q, r = jnp.linalg.qr(a)
-        return solve_triangular(r, q.T @ b, lower=False)
+        return solve_triangular(r, jnp.matmul(q.T, b, precision=hi),
+                                lower=False)
     q, r = jnp.linalg.qr(a.T)   # a = r^T q^T
     z = solve_triangular(r.T, b, lower=True)
-    return q @ z
+    return jnp.matmul(q, z, precision=hi)
 
 
 class GNResult(NamedTuple):

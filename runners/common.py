@@ -19,10 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def setup_jax(f32: bool = False):
+    """x64 is ALWAYS enabled: closure cores must be able to compute in
+    f64 even when the online state runs f32 (their kernel-weight
+    contractions cancel by ~5e5 — see closures/rbf.py). `f32` only
+    selects the online state/solver dtype in the runners."""
     import jax
 
-    if not f32:
-        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: repeated runner invocations (and the
     # run_tests drivers) skip the multi-minute XLA compiles
     cache_dir = os.environ.get(
@@ -207,9 +210,21 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     from finitedifference_tpu.rom import manifold_rom
     from finitedifference_tpu.snapshots import load_or_compute_snaps
 
-    dtype = jnp.float32 if f32 else jnp.float64
-    decode_full, _ = manifold_decoder(u_p.astype(dtype if f32 else u_p.dtype),
-                                      u_s, closure)
+    # On TPU the online STATE runs f32 (f64 is emulated ~20x slower and
+    # has crashed the axon worker on full-size programs); the closure
+    # cores still evaluate in f64 through the precision bridge
+    # (closures/rbf.py::global_rbf_closure — their contractions cancel
+    # by ~5e5 and are meaningless in f32), and basis GEMMs force
+    # true-f32 accumulation (precision.py). CPU keeps full f64,
+    # reference-faithful. Round-1's host-CPU fallback is gone.
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.float32 if (f32 or on_tpu) else jnp.float64
+    if on_tpu and not f32:
+        print("note: online state in f32 on TPU (closure cores stay f64)")
+
+    u_p_d = u_p.astype(dtype)
+    u_s_d = u_s.astype(dtype)
+    decode_full, dec_jac_full = manifold_decoder(u_p_d, u_s_d, closure)
     y0 = jnp.asarray(u_p.T @ w0, dtype)
     num_steps = cfg.num_steps
     y_start = y0
@@ -217,40 +232,21 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
         y_start = jnp.asarray(warm_q1, dtype)
         num_steps = cfg.num_steps - 1
 
-    # Known issue on the axon dev TPU backend: the jitted closure-ROM
-    # online program produces wrong numerics in f32 and crashes the
-    # worker in f64 at >=250^2, while the *identical* jitted program on
-    # the CPU backend matches the reference solver (validated per-step
-    # to 1e-13 and 0.88% over 60 steps). Until the backend matures,
-    # full-scale closure-ROM online loops run on the host backend.
-    run_device = None
-    if jax.default_backend() != "cpu" and grid.n_cells >= 32768:
-        run_device = jax.devices("cpu")[0]
-        print("note: running closure-ROM online loop on the host backend "
-              "(axon closure-ROM numerics issue; see runners/common.py)")
-
-    import contextlib
-    device_ctx = jax.default_device(run_device) if run_device is not None         else contextlib.nullcontext()
-
     t0 = time.time()
-    ls_kw = default_ls(f32) if run_device is None \
-        else {"ls_dtype": None, "ls_method": "qr"}
-    with device_ctx:
-        if weights_full is None:
-            decode, dec_jac = manifold_decoder(u_p, u_s, closure)
-            res = manifold_rom(grid, y_start, decode, dec_jac, cfg.dt,
-                               num_steps, mu1, mu2, **ls_kw)
-        else:
-            sample_inds = np.where(weights_full != 0)[0]
-            mesh = build_sampled_mesh(grid, sample_inds)
-            idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
-            dec_s, jac_s = manifold_decoder(u_p[idx], u_s[idx], closure)
-            res = manifold_rom(grid, y_start, dec_s, jac_s, cfg.dt,
-                               num_steps, mu1, mu2, mesh=mesh,
-                               sample_weights=jnp.asarray(
-                                   weights_full[sample_inds], dtype),
-                               **ls_kw)
-            decode, _ = manifold_decoder(u_p, u_s, closure)
+    ls_kw = default_ls(f32)
+    if weights_full is None:
+        res = manifold_rom(grid, y_start, decode_full, dec_jac_full,
+                           cfg.dt, num_steps, mu1, mu2, **ls_kw)
+    else:
+        sample_inds = np.where(weights_full != 0)[0]
+        mesh = build_sampled_mesh(grid, sample_inds)
+        idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
+        dec_s, jac_s = manifold_decoder(u_p_d[idx], u_s_d[idx], closure)
+        res = manifold_rom(grid, y_start, dec_s, jac_s, cfg.dt,
+                           num_steps, mu1, mu2, mesh=mesh,
+                           sample_weights=jnp.asarray(
+                               weights_full[sample_inds], dtype),
+                           **ls_kw)
     red = res.red_coords
     if warm_q1 is not None:
         red = jnp.concatenate((y0[:, None], red), axis=1)
