@@ -215,13 +215,17 @@ class TestECM:
 
         rng = np.random.default_rng(3)
         q, _ = np.linalg.qr(rng.normal(size=(20000, 60)))
-        t0 = time.time()
-        z_up, w_up = empirical_cubature(q, tolerance=1e-6)
-        t_up = time.time() - t0
-        t0 = time.time()
-        z_ls, w_ls = empirical_cubature(q, tolerance=1e-6,
-                                        use_inverse_updates=False)
-        t_ls = time.time() - t0
+        # best-of-2 per path: a single rep races against unrelated load
+        # on shared CI machines and flakes
+        t_up = t_ls = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            z_up, w_up = empirical_cubature(q, tolerance=1e-6)
+            t_up = min(t_up, time.time() - t0)
+            t0 = time.time()
+            z_ls, w_ls = empirical_cubature(q, tolerance=1e-6,
+                                            use_inverse_updates=False)
+            t_ls = min(t_ls, time.time() - t0)
         np.testing.assert_array_equal(z_up, z_ls)
         assert t_up < t_ls  # strictly faster; typically several x
 

@@ -26,10 +26,11 @@ class TestRunnerSmoke:
         import run_prom
 
         elapsed, _ = run_fom.main(4.75, 0.02, **SMALL)
-        assert os.path.exists("param_snaps/mu1_4.75+mu2_0.02.npy")
+        # non-default resolutions get their own snapshot folder
+        assert os.path.exists("param_snaps_12x12/mu1_4.75+mu2_0.02.npy")
         elapsed, err = run_prom.main(4.75, 0.02, num_modes=6, **SMALL)
         assert err < 5.0
-        assert os.path.exists("basis.npy")
+        assert os.path.exists("basis_12x12.npy")
 
     def test_hprom(self, runner_cwd):
         import run_hprom
