@@ -66,3 +66,179 @@ def plot_speedup_errors(results: dict, out_path: str | None = None):
     if out_path:
         fig.savefig(out_path, dpi=200)
     return fig
+
+
+def _u_field(grid, snaps, ind):
+    """u-component of a snapshot column as an (ny, nx) array."""
+    nx, ny = grid.nx, grid.ny
+    return np.asarray(snaps)[: nx * ny, ind].reshape(ny, nx)
+
+
+def plot_field_2d(grid, snaps, inds, dt, out_path=None, cmap="viridis"):
+    """2x2 panel of u(x, y) heatmaps at selected times (role of the
+    reference's plot_2d_burgers.py::plot_characteristic_snapshot)."""
+    import matplotlib.pyplot as plt
+
+    x, y = np.asarray(grid.xc()), np.asarray(grid.yc())
+    extent = [x.min(), x.max(), y.min(), y.max()]
+    snaps = np.asarray(snaps)
+    vmin = snaps[: x.size * y.size].min()
+    vmax = snaps[: x.size * y.size].max()
+    fig, axs = plt.subplots(2, 2, figsize=(10, 8), constrained_layout=True)
+    for ax, ind in zip(axs.ravel(), inds):
+        im = ax.imshow(_u_field(grid, snaps, ind), extent=extent,
+                       origin="lower", cmap=cmap, aspect="auto",
+                       vmin=vmin, vmax=vmax)
+        ax.set_title(f"t = {ind * dt:.2f}")
+        ax.set_xlabel("$x$")
+        ax.set_ylabel("$y$")
+    fig.colorbar(im, ax=axs, label="$u$", shrink=0.8)
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def plot_field_3d(grid, snaps, inds, dt, out_path=None, cmap="viridis",
+                  stride=None):
+    """2x2 panel of u(x, y) surface plots (role of plot_3d_burgers.py::
+    plot_characteristic_snapshot_3d_pyvista, in matplotlib — pyvista is
+    not in this image)."""
+    import matplotlib.pyplot as plt
+
+    x, y = np.asarray(grid.xc()), np.asarray(grid.yc())
+    if stride is None:
+        stride = max(x.size // 125, 1)   # keep the mesh drawable
+    xs, ys = np.meshgrid(x[::stride], y[::stride])
+    snaps = np.asarray(snaps)
+    zmax = float(snaps[: x.size * y.size].max())
+    fig = plt.figure(figsize=(12, 9))
+    for k, ind in enumerate(inds):
+        ax = fig.add_subplot(2, 2, k + 1, projection="3d")
+        z = _u_field(grid, snaps, ind)[::stride, ::stride]
+        ax.plot_surface(xs, ys, z, cmap=cmap, vmin=0.0, vmax=zmax,
+                        rstride=1, cstride=1, linewidth=0,
+                        antialiased=False)
+        ax.set_zlim(0.0, zmax)
+        ax.set_title(f"t = {ind * dt:.2f}")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def animate_field(grid, snaps, inds, out_path, dt, label="", mode="2d",
+                  fps=15, cmap="viridis", stride=None):
+    """GIF animation of the u field over time, 2D heatmap or 3D surface
+    (roles of plot_2d_burgers.py::create_animation and
+    plot_3d_burgers.py::create_3d_animation_pyvista)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    x, y = np.asarray(grid.xc()), np.asarray(grid.yc())
+    snaps = np.asarray(snaps)
+    vmin = float(snaps[: x.size * y.size].min())
+    vmax = float(snaps[: x.size * y.size].max())
+    inds = list(inds)
+
+    if mode == "2d":
+        fig, ax = plt.subplots(figsize=(8, 6))
+        im = ax.imshow(_u_field(grid, snaps, inds[0]),
+                       extent=[x.min(), x.max(), y.min(), y.max()],
+                       origin="lower", cmap=cmap, aspect="auto",
+                       vmin=vmin, vmax=vmax)
+        fig.colorbar(im, ax=ax, label="$u$")
+
+        def update(ind):
+            im.set_data(_u_field(grid, snaps, ind))
+            ax.set_title(f"{label} t = {ind * dt:.2f}")
+            return [im]
+    else:
+        if stride is None:
+            stride = max(x.size // 100, 1)
+        xs, ys = np.meshgrid(x[::stride], y[::stride])
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(projection="3d")
+
+        def update(ind):
+            ax.clear()
+            z = _u_field(grid, snaps, ind)[::stride, ::stride]
+            ax.plot_surface(xs, ys, z, cmap=cmap, vmin=0.0, vmax=vmax,
+                            rstride=1, cstride=1, linewidth=0,
+                            antialiased=False)
+            ax.set_zlim(0.0, vmax)
+            ax.set_title(f"{label} t = {ind * dt:.2f}")
+            return []
+
+    ani = FuncAnimation(fig, update, frames=inds, blit=False)
+    ani.save(out_path, writer=PillowWriter(fps=fps), dpi=100)
+    plt.close(fig)
+    return out_path
+
+
+def overlay_midline(grid, hdm_snaps, rom_snaps_by_label, ind, dt,
+                    out_path=None):
+    """HDM-vs-ROMs midline overlay at one time (role of the reference's
+    animations/create_overlay_image_hdm_vs_roms.py): u(x, y=mid) with the
+    HDM in black and each ROM dashed on top."""
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(grid.xc())
+    mid = grid.ny // 2
+    fig, ax = plt.subplots(figsize=(9, 5))
+    ax.plot(x, _u_field(grid, hdm_snaps, ind)[mid], "k-", lw=2.5,
+            label="HDM")
+    for (label, snaps), color in zip(
+            rom_snaps_by_label.items(),
+            ("red", "blue", "green", "orange", "purple")):
+        ax.plot(x, _u_field(grid, snaps, ind)[mid], color=color, ls="--",
+                lw=1.5, label=label)
+    ax.set_xlabel("$x$")
+    ax.set_ylabel(f"$u(x, y_{{mid}})$ at t = {ind * dt:.2f}")
+    ax.grid(True)
+    ax.legend(fontsize=9)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def animate_midline(grid, hdm_snaps, rom_snaps_by_label, inds, out_path,
+                    dt, fps=15):
+    """GIF of the HDM-vs-ROMs midline overlay over time (role of
+    animations/create_combined_gif_hdm_vs_roms.py)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    x = np.asarray(grid.xc())
+    mid = grid.ny // 2
+    hdm = np.asarray(hdm_snaps)
+    vmax = float(hdm[: grid.n_cells].max()) * 1.05
+    fig, ax = plt.subplots(figsize=(9, 5))
+    (hdm_line,) = ax.plot(x, _u_field(grid, hdm, inds[0])[mid], "k-",
+                          lw=2.5, label="HDM")
+    rom_lines = []
+    for (label, snaps), color in zip(
+            rom_snaps_by_label.items(),
+            ("red", "blue", "green", "orange", "purple")):
+        (ln,) = ax.plot(x, _u_field(grid, snaps, inds[0])[mid],
+                        color=color, ls="--", lw=1.5, label=label)
+        rom_lines.append((ln, np.asarray(snaps)))
+    ax.set_ylim(0.0, vmax)
+    ax.set_xlabel("$x$")
+    ax.grid(True)
+    ax.legend(fontsize=9)
+
+    def update(ind):
+        hdm_line.set_ydata(_u_field(grid, hdm, ind)[mid])
+        for ln, snaps in rom_lines:
+            ln.set_ydata(_u_field(grid, snaps, ind)[mid])
+        ax.set_ylabel(f"$u(x, y_{{mid}})$ at t = {ind * dt:.2f}")
+        return [hdm_line] + [ln for ln, _ in rom_lines]
+
+    ani = FuncAnimation(fig, update, frames=list(inds), blit=False)
+    ani.save(out_path, writer=PillowWriter(fps=fps), dpi=100)
+    plt.close(fig)
+    return out_path

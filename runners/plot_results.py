@@ -96,14 +96,88 @@ def plot_slices(num_cells, num_steps, out_prefix: str):
         print(f"saved {out}")
 
 
+def _find_hdm(cfg, mu1, mu2):
+    """Cached FOM snapshot file matching (mu1, mu2), tolerant of float
+    formatting differences between savers."""
+    for c in glob.glob(os.path.join(cfg.snap_folder, "*.npy")):
+        name = os.path.basename(c)
+        try:
+            m1 = float(name.split("+")[0].split("_")[1])
+            m2 = float(name.split("+")[1].split("_")[1].replace(".npy", ""))
+        except (IndexError, ValueError):
+            continue
+        if abs(m1 - mu1) < 5e-3 and abs(m2 - mu2) < 5e-4:
+            return c
+    return None
+
+
+def _rom_files_by_mu():
+    """Group saved ROM snapshot files: {(mu1, mu2): {label: path}}."""
+    by_mu = {}
+    for rom_file in sorted(glob.glob("*_snaps_mu1_*.npy")):
+        stem = os.path.splitext(rom_file)[0]
+        parts = stem.split("_")
+        mu1 = float(parts[parts.index("mu1") + 1])
+        mu2 = float(parts[parts.index("mu2") + 1])
+        by_mu.setdefault((mu1, mu2), {})[stem.split("_snaps")[0]] = rom_file
+    return by_mu
+
+
+def plot_fields(num_cells, num_steps, animate=False):
+    """2D heatmap + 3D surface panels (and optional GIFs) for each saved
+    ROM snapshot file and its cached FOM, plus HDM-vs-ROMs overlays
+    (roles of the reference's plot_2d_burgers.py / plot_3d_burgers.py /
+    animations/*)."""
+    from finitedifference_tpu.utils.plotting import (
+        animate_field,
+        animate_midline,
+        overlay_midline,
+        plot_field_2d,
+        plot_field_3d,
+    )
+
+    cfg = default_config(num_cells, num_steps)
+    grid, _ = make_problem(cfg)
+    for (mu1, mu2), roms in _rom_files_by_mu().items():
+        hdm_file = _find_hdm(cfg, mu1, mu2)
+        if hdm_file is None:
+            continue
+        hdm = np.load(hdm_file)
+        n_t = hdm.shape[1]
+        panel = [0, n_t // 3, 2 * n_t // 3, n_t - 1]
+        tag = f"mu1_{mu1:.2f}_mu2_{mu2:.3f}"
+        plot_field_2d(grid, hdm, panel, cfg.dt, f"field2d_hdm_{tag}.png")
+        plot_field_3d(grid, hdm, panel, cfg.dt, f"field3d_hdm_{tag}.png")
+        print(f"saved field2d/3d_hdm_{tag}.png")
+        rom_snaps = {lbl: np.load(f) for lbl, f in roms.items()
+                     if np.load(f, mmap_mode="r").shape == hdm.shape}
+        if rom_snaps:
+            overlay_midline(grid, hdm, rom_snaps, n_t - 1, cfg.dt,
+                            f"overlay_{tag}.png")
+            print(f"saved overlay_{tag}.png")
+        if animate:
+            frames = range(0, n_t, max(n_t // 100, 1))
+            animate_field(grid, hdm, frames, f"anim2d_hdm_{tag}.gif",
+                          cfg.dt, label="HDM", mode="2d")
+            animate_field(grid, hdm, frames, f"anim3d_hdm_{tag}.gif",
+                          cfg.dt, label="HDM", mode="3d")
+            if rom_snaps:
+                animate_midline(grid, hdm, rom_snaps, list(frames),
+                                f"anim_overlay_{tag}.gif", cfg.dt)
+            print(f"saved anim*_{tag}.gif")
+
+
 def main(results=("rom_results.npz", "rom_results_hprom.npz"),
-         num_cells=None, num_steps=None, slices=True):
+         num_cells=None, num_steps=None, slices=True, fields=False,
+         animate=False):
     setup_jax()
     for rf in results:
         if os.path.exists(rf):
             plot_speedups(rf, rf.replace(".npz", "_speedup.png"))
     if slices:
         plot_slices(num_cells, num_steps, "slice_")
+    if fields or animate:
+        plot_fields(num_cells, num_steps, animate=animate)
 
 
 if __name__ == "__main__":
@@ -111,6 +185,10 @@ if __name__ == "__main__":
     p.add_argument("--num-cells", type=int, default=None)
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--no-slices", action="store_true")
+    p.add_argument("--fields", action="store_true",
+                   help="2D heatmap + 3D surface panels + overlays")
+    p.add_argument("--animate", action="store_true",
+                   help="also write GIF animations (implies --fields)")
     a = p.parse_args()
     main(num_cells=a.num_cells, num_steps=a.num_steps,
-         slices=not a.no_slices)
+         slices=not a.no_slices, fields=a.fields, animate=a.animate)
