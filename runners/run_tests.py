@@ -33,7 +33,7 @@ def run_fom_point(cfg, grid, w0, mu):
 
 def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
          out="rom_results.npz", num_cells=None, num_steps=None,
-         f32=False):
+         f32=False, redo=False):
     setup_jax(f32)
     cfg = default_config(num_cells, num_steps)
     grid, w0 = make_problem(cfg)
@@ -53,6 +53,11 @@ def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
         "pod_rbf": lambda mu: run_pod_rbf.main(
             mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
             f32=f32),
+        # kNN-RBF with the repo's own (epsilon, k) grid search rather
+        # than the reference's hardcoded eps=0.01, k=100
+        "pod_rbf_searched": lambda mu: run_pod_rbf.main(
+            mu[0], mu[1], search=True, num_cells=num_cells,
+            num_steps=num_steps, f32=f32),
         "pod_rbf_global": lambda mu: run_pod_rbf_global.main(
             mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
             f32=f32),
@@ -60,6 +65,10 @@ def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
 
     results = dict(np.load(out, allow_pickle=True)) \
         if os.path.exists(out) else {}
+    if redo:
+        stale = {f"{m}_{mu[0]}_{mu[1]}"
+                 for m in models for mu in TEST_POINTS}
+        results = {k: v for k, v in results.items() if k not in stale}
     for mu in TEST_POINTS:
         key_fom = f"fom_{mu[0]}_{mu[1]}"
         if key_fom not in results:
@@ -90,5 +99,8 @@ if __name__ == "__main__":
     p.add_argument("--num-cells", type=int, default=None)
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--redo", action="store_true",
+                   help="re-run the selected models even if recorded")
     a = p.parse_args()
-    main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32)
+    main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32,
+         a.redo)

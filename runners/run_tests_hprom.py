@@ -14,7 +14,7 @@ from run_tests import TEST_POINTS
 
 def main(models=("hprom", "hrnm", "pod_rbf_hprom", "pod_gp_hprom"),
          out="rom_results_hprom.npz", num_cells=None, num_steps=None,
-         f32=False):
+         f32=False, redo=False):
     setup_jax(f32)
     import run_hprom
     import run_hrnm
@@ -38,6 +38,10 @@ def main(models=("hprom", "hrnm", "pod_rbf_hprom", "pod_gp_hprom"),
 
     results = dict(np.load(out, allow_pickle=True)) \
         if os.path.exists(out) else {}
+    if redo:
+        stale = {f"{m}_{mu[0]}_{mu[1]}"
+                 for m in models for mu in TEST_POINTS}
+        results = {k: v for k, v in results.items() if k not in stale}
     for mu in TEST_POINTS:
         for name in models:
             key = f"{name}_{mu[0]}_{mu[1]}"
@@ -64,5 +68,8 @@ if __name__ == "__main__":
     p.add_argument("--num-cells", type=int, default=None)
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--redo", action="store_true",
+                   help="re-run the selected models even if recorded")
     a = p.parse_args()
-    main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32)
+    main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32,
+         a.redo)
