@@ -23,13 +23,19 @@ _HI = jax.lax.Precision.HIGHEST   # true-f32 GEMMs on TPU (precision.py)
 
 
 class Encoder(nn.Module):
+    """ELU where the reference uses ReLU (TestAE
+    AE/train_autoencoder.py:42-48): the decoder feeds a Gauss-Newton
+    LSPG solver through jacfwd, and a ReLU manifold is piecewise linear
+    with dead-unit rank collapse — its Jacobian loses usable tangent
+    directions and the online solver stalls. ELU keeps the same
+    architecture but a C^1 decoder."""
     latent_dim: int
     hidden: Sequence[int] = (512, 256, 128, 64)
 
     @nn.compact
     def __call__(self, x):
         for h in self.hidden:
-            x = nn.relu(nn.Dense(h, precision=_HI)(x))
+            x = nn.elu(nn.Dense(h, precision=_HI)(x))
         return nn.Dense(self.latent_dim, precision=_HI)(x)
 
 
@@ -40,7 +46,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         for h in self.hidden:
-            z = nn.relu(nn.Dense(h, precision=_HI)(z))
+            z = nn.elu(nn.Dense(h, precision=_HI)(z))
         return nn.Dense(self.output_dim, precision=_HI)(z)
 
 

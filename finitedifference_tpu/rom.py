@@ -153,7 +153,8 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
                  mu1, mu2, *, mesh=None, sample_weights=None,
                  max_its: int = 20, relnorm_cutoff: float = 1e-5,
                  min_delta: float = 0.1, ls_dtype=None,
-               ls_method: str = "qr") -> ROMResult:
+                 ls_method: str = "qr",
+                 line_search: bool = False) -> ROMResult:
     """Generic LSPG ROM over a (possibly nonlinear) decoder.
 
     One stepper covers the reference's RNM/HRNM (hypernet2D.py:275-676),
@@ -198,7 +199,7 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
                            weights=wgt, max_its=max_its,
                            relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
-                           ls_method=ls_method)
+                           ls_method=ls_method, line_search=line_search)
         w = decode(out.y)
         return (out.y, w, its + out.num_its), out.y
 

@@ -48,6 +48,24 @@ def lstsq_normal(a: jnp.ndarray, b: jnp.ndarray,
     return cho_solve(cho_factor(g), jnp.matmul(a.T, b, precision=hi))
 
 
+def lstsq_svd(a: jnp.ndarray, b: jnp.ndarray,
+              rcond: float = 1e-6) -> jnp.ndarray:
+    """Least squares via truncated SVD: singular directions below
+    rcond * s_max are dropped rather than inverted. The robust choice
+    for nonlinear-manifold decoders whose Jacobians can be numerically
+    rank-deficient (a trained autoencoder often collapses part of its
+    latent space; inverting the ~1e-8 directions sends the Gauss-Newton
+    update to ~1e6 and the trajectory to NaN — observed with the
+    reference-style AE at 50^2). The reference's np.linalg.lstsq
+    rcond=None keeps those directions (TestAE hypernet2D.py:2134) and
+    relies on luck in the trained net."""
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    hi = jax.lax.Precision.HIGHEST
+    sinv = jnp.where(s > rcond * s[0], 1.0 / s, 0.0)
+    return jnp.matmul(vt.T, sinv * jnp.matmul(u.T, b, precision=hi),
+                      precision=hi)
+
+
 def lstsq_qr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Least-squares via reduced QR — tall-skinny friendly (MXU matmul +
     small triangular solve). Assumes full column rank (J@V ≈ V + O(dt)).
@@ -87,6 +105,7 @@ def gauss_newton(
     stepsize: float = 1.0,
     ls_dtype=None,
     ls_method: str = "qr",
+    line_search: bool = False,
 ) -> GNResult:
     """Generic Gauss-Newton for min_y || wgt * res(decode(y)) ||.
 
@@ -100,6 +119,15 @@ def gauss_newton(
                and stopping stay f64, the tall-skinny QR runs 30x faster
                on TPU; the update error (~1e-7) is far below the 0.1
                stagnation stopping threshold).
+    ls_method: "qr" (reference-faithful lstsq), "normal" (all-MXU
+               normal equations) or "svd" (truncated SVD — for
+               rank-deficient nonlinear-manifold Jacobians).
+    line_search: backtracking step control — evaluate the update at
+               stepsize * (1, 1/2, 1/4, 1/8), take the best residual
+               decrease, stop if none decreases. Off by default (the
+               reference's solvers always take the full step); needed
+               for AE manifolds whose full Gauss-Newton step can leave
+               the decoder's training region and diverge.
     """
     w0 = decode(y0)
     f0 = res_fn(w0)
@@ -127,13 +155,30 @@ def gauss_newton(
         jv = jac_apply(w, v)
         if weights is not None:
             jv = weights[:, None] * jv
-        solve_ls = lstsq_normal if ls_method == "normal" else lstsq_qr
+        solve_ls = {"normal": lstsq_normal, "svd": lstsq_svd,
+                    "qr": lstsq_qr}[ls_method]
         if ls_dtype is not None:
             dy = solve_ls(jv.astype(ls_dtype),
                           (-fw).astype(ls_dtype)).astype(y.dtype)
         else:
             dy = solve_ls(jv, -fw)
-        y_new = jnp.where(stop, y, y + stepsize * dy)
+
+        if line_search:
+            def cand_norm(alpha):
+                fc = res_fn(decode(y + alpha * stepsize * dy))
+                if weights is not None:
+                    fc = fc * weights
+                return jnp.linalg.norm(fc)
+
+            alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125], y.dtype)
+            norms = jax.vmap(cand_norm)(alphas)
+            best = jnp.argmin(norms)
+            improved = norms[best] < rn
+            step = jnp.where(improved, alphas[best] * stepsize, 0.0)
+            stop = jnp.logical_or(stop, ~improved)
+            y_new = jnp.where(stop, y, y + step * dy)
+        else:
+            y_new = jnp.where(stop, y, y + stepsize * dy)
         return (y_new, it + 1, stop, rn)
 
     big = jnp.asarray(jnp.inf, init_norm.dtype)

@@ -123,3 +123,64 @@ class TestNormalEquationsLS:
         x = np.asarray(lstsq_normal(jnp.asarray(A), jnp.asarray(b)))
         want = np.linalg.lstsq(A, b, rcond=None)[0]
         np.testing.assert_allclose(x, want, atol=1e-9)
+
+
+class TestRobustManifoldGN:
+    def test_lstsq_svd_truncates_weak_directions(self):
+        from finitedifference_tpu.solvers import lstsq_svd
+        rng = np.random.default_rng(1)
+        # rank-deficient-in-practice: strong directions O(1), weak 1e-9
+        q, _ = np.linalg.qr(rng.normal(size=(60, 6)))
+        A = q @ np.diag([2.0, 1.0, 0.5, 1e-9, 1e-9, 1e-9]) \
+            @ np.linalg.qr(rng.normal(size=(6, 6)))[0]
+        b = rng.normal(size=60)
+        x = np.asarray(lstsq_svd(jnp.asarray(A), jnp.asarray(b)))
+        # the full lstsq solution explodes along the 1e-9 directions;
+        # the truncated one stays O(||b||/s_min_kept)
+        assert np.linalg.norm(x) < 10.0
+        full = np.linalg.lstsq(A, b, rcond=None)[0]
+        assert np.linalg.norm(full) > 1e6
+        # and it still solves the well-conditioned part: residual of the
+        # truncated solve equals the best rank-3 residual
+        r = np.linalg.norm(A @ x - b)
+        r3 = np.linalg.norm(A @ np.linalg.lstsq(A, b, rcond=1e-6)[0] - b)
+        np.testing.assert_allclose(r, r3, rtol=1e-8)
+
+    def test_line_search_prevents_divergence(self):
+        """GN on a 1D toy where the full step always overshoots into a
+        divergent region; backtracking keeps the iterates bounded."""
+        from finitedifference_tpu.solvers import gauss_newton
+
+        # r(y) = tanh(4y) - 0.5: from y0=0.5 the full Newton step lands
+        # at y ~ -1.1 where the gradient has vanished, and the next full
+        # step is ~ +900 — plain GN diverges; backtracking recovers.
+        decode = lambda y: y
+        dec_jac = lambda y, w: jnp.ones((1, 1), w.dtype)
+        res_fn = lambda w: jnp.tanh(4.0 * w) - 0.5
+        jac_apply = lambda w, v: 4.0 / jnp.cosh(4.0 * w[:, None]) ** 2 * v
+        y0 = jnp.asarray([0.5])
+        root = np.arctanh(0.5) / 4.0
+        out_ls = gauss_newton(decode, dec_jac, res_fn, jac_apply, y0,
+                              max_its=30, min_delta=0.0,
+                              relnorm_cutoff=1e-10, line_search=True)
+        assert abs(float(out_ls.y[0]) - root) < 1e-3
+        out_plain = gauss_newton(decode, dec_jac, res_fn, jac_apply, y0,
+                                 max_its=30, min_delta=0.0,
+                                 relnorm_cutoff=1e-10)
+        plain_err = abs(float(out_plain.y[0]) - root)
+        assert not plain_err < 1.0  # diverged (large or NaN)
+
+    def test_line_search_matches_plain_when_well_behaved(self):
+        grid, ops, xc, w0, basis = setup_problem()
+        from finitedifference_tpu.rom import manifold_rom
+        basis = jnp.asarray(basis)
+        decode = lambda y: basis @ y
+        dec_jac = lambda y, w: basis
+        y0 = basis.T @ jnp.asarray(w0)
+        a = manifold_rom(grid, y0, decode, dec_jac, DT, 10, MU[0], MU[1])
+        b = manifold_rom(grid, y0, decode, dec_jac, DT, 10, MU[0], MU[1],
+                         line_search=True)
+        rel = np.linalg.norm(np.asarray(a.red_coords)
+                             - np.asarray(b.red_coords)) / \
+            np.linalg.norm(np.asarray(a.red_coords))
+        assert rel < 1e-10
