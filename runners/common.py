@@ -18,13 +18,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def setup_jax(f32: bool = False):
+def setup_jax(f32: bool = False, platform: str | None = None):
     """x64 is ALWAYS enabled: closure cores must be able to compute in
     f64 even when the online state runs f32 (their kernel-weight
     contractions cancel by ~5e5 — see closures/rbf.py). `f32` only
-    selects the online state/solver dtype in the runners."""
+    selects the online state/solver dtype in the runners.
+
+    platform: pin the jax backend ("cpu" to run a validation off-TPU,
+    e.g. during a tunnel outage). Must be a config update, not
+    JAX_PLATFORMS — jax is pre-imported by a site hook in this image.
+    Falls back to the FDTPU_PLATFORM env var (set by the --platform
+    runner flag, and inheritable by driver subprocesses)."""
     import jax
 
+    platform = platform or os.environ.get("FDTPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: repeated runner invocations (and the
     # run_tests drivers) skip the multi-minute XLA compiles
@@ -323,6 +332,43 @@ def run_with_retry(fn, mu, retries: int = 2, backoff_s: float = 180.0):
             time.sleep(backoff_s)
 
 
+def run_point_subproc(script: str, mu, extra_args=(), retries: int = 2,
+                      backoff_s: float = 180.0, timeout_s: float = 3600.0):
+    """Run one runner CLI in a fresh subprocess and parse its report.
+
+    Crash isolation for the regression drivers: when the axon TPU worker
+    dies it vanishes from the parent's jax backend registry for good
+    ("Backend 'axon' is not in the list of known backends") and every
+    in-process retry is doomed — a fresh interpreter re-initializes the
+    backend after it recovers. Parses the `report()` epilogue lines
+    ("Elapsed <name> time: X s" / "Relative error: Y%").
+    """
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(here, script),
+           "--mu1", str(mu[0]), "--mu2", str(mu[1]), *extra_args]
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout_s)
+            out = proc.stdout
+            print(out[-2000:], end="")
+            el = re.findall(r"Elapsed .* time: ([\d.e+-]+) s", out)
+            err = re.findall(r"Relative error: ([\d.e+-]+)%", out)
+            if proc.returncode == 0 and el and err:
+                return float(el[-1]), float(err[-1])
+            print(f"  attempt {attempt + 1} failed (rc={proc.returncode}); "
+                  f"stderr tail: {proc.stderr[-500:]}")
+        except subprocess.TimeoutExpired:
+            print(f"  attempt {attempt + 1} timed out after {timeout_s}s")
+        if attempt == retries:
+            return None, None
+        print(f"  waiting {backoff_s:.0f}s for the worker to recover")
+        time.sleep(backoff_s)
+
+
 def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("--mu1", type=float, default=5.19)
@@ -331,4 +377,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--f32", action="store_true",
                    help="run in float32 (faster on TPU, ~1e-7 accuracy)")
+    class _SetPlatform(argparse.Action):
+        def __call__(self, parser, ns, value, option_string=None):
+            os.environ["FDTPU_PLATFORM"] = value
+            setattr(ns, self.dest, value)
+
+    p.add_argument("--platform", default=None, action=_SetPlatform,
+                   help="pin the jax backend (e.g. cpu); sets "
+                        "FDTPU_PLATFORM, honored by setup_jax")
     return p

@@ -8,8 +8,8 @@ import time
 
 import numpy as np
 
-from common import default_config, make_problem, run_with_retry, \
-    setup_jax, sync
+from common import default_config, make_problem, run_point_subproc, \
+    setup_jax
 
 TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
 
@@ -31,37 +31,25 @@ def run_fom_point(cfg, grid, w0, mu):
     return elapsed if not cached else np.nan
 
 
+SCRIPT_BY_MODEL = {
+    "prom": ("run_prom.py", ()),
+    "rnm": ("run_rnm.py", ()),
+    "pod_rbf": ("run_pod_rbf.py", ()),
+    # kNN-RBF with the repo's own (epsilon, k) grid search rather
+    # than the reference's hardcoded eps=0.01, k=100
+    "pod_rbf_searched": ("run_pod_rbf.py", ("--search",)),
+    "pod_rbf_global": ("run_pod_rbf_global.py", ()),
+}
+
+
 def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
          out="rom_results.npz", num_cells=None, num_steps=None,
-         f32=False, redo=False):
+         f32=False, redo=False, platform=None):
+    if platform:
+        os.environ["FDTPU_PLATFORM"] = platform  # inherited by subprocesses
     setup_jax(f32)
     cfg = default_config(num_cells, num_steps)
     grid, w0 = make_problem(cfg)
-
-    import run_pod_rbf
-    import run_pod_rbf_global
-    import run_prom
-    import run_rnm
-
-    runner_by_name = {
-        "prom": lambda mu: run_prom.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-        "rnm": lambda mu: run_rnm.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-        "pod_rbf": lambda mu: run_pod_rbf.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-        # kNN-RBF with the repo's own (epsilon, k) grid search rather
-        # than the reference's hardcoded eps=0.01, k=100
-        "pod_rbf_searched": lambda mu: run_pod_rbf.main(
-            mu[0], mu[1], search=True, num_cells=num_cells,
-            num_steps=num_steps, f32=f32),
-        "pod_rbf_global": lambda mu: run_pod_rbf_global.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-    }
 
     results = dict(np.load(out, allow_pickle=True)) \
         if os.path.exists(out) else {}
@@ -69,6 +57,13 @@ def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
         stale = {f"{m}_{mu[0]}_{mu[1]}"
                  for m in models for mu in TEST_POINTS}
         results = {k: v for k, v in results.items() if k not in stale}
+    common = []
+    if num_cells:
+        common += ["--num-cells", str(num_cells)]
+    if num_steps:
+        common += ["--num-steps", str(num_steps)]
+    if f32:
+        common += ["--f32"]
     for mu in TEST_POINTS:
         key_fom = f"fom_{mu[0]}_{mu[1]}"
         if key_fom not in results:
@@ -80,8 +75,10 @@ def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
             if key in results:
                 print(f"skipping {key} (done)")
                 continue
-            print(f"=== {name} at mu = {mu} ===")
-            elapsed, err = run_with_retry(runner_by_name[name], mu)
+            print(f"=== {name} at mu = {mu} ===", flush=True)
+            script, extra = SCRIPT_BY_MODEL[name]
+            elapsed, err = run_point_subproc(script, mu,
+                                             (*extra, *common))
             if elapsed is None:
                 print(f"  {key} FAILED after retries; continuing")
                 continue
@@ -101,6 +98,8 @@ if __name__ == "__main__":
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true",
                    help="re-run the selected models even if recorded")
+    p.add_argument("--platform", default=None,
+                   help="pin the jax backend (e.g. cpu)")
     a = p.parse_args()
     main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32,
-         a.redo)
+         a.redo, a.platform)

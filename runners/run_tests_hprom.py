@@ -8,48 +8,46 @@ import time
 
 import numpy as np
 
-from common import default_config, run_with_retry, setup_jax
+from common import run_point_subproc
 from run_tests import TEST_POINTS
+
+
+SCRIPT_BY_MODEL = {
+    "hprom": ("run_hprom.py", ()),
+    "hrnm": ("run_hrnm.py", ()),
+    "pod_rbf_hprom": ("run_pod_rbf_hprom.py", ()),
+    "pod_gp_hprom": ("run_pod_gp_hprom.py", ()),
+}
 
 
 def main(models=("hprom", "hrnm", "pod_rbf_hprom", "pod_gp_hprom"),
          out="rom_results_hprom.npz", num_cells=None, num_steps=None,
-         f32=False, redo=False):
-    setup_jax(f32)
-    import run_hprom
-    import run_hrnm
-    import run_pod_gp_hprom
-    import run_pod_rbf_hprom
-
-    runner_by_name = {
-        "hprom": lambda mu: run_hprom.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-        "hrnm": lambda mu: run_hrnm.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-        "pod_rbf_hprom": lambda mu: run_pod_rbf_hprom.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-        "pod_gp_hprom": lambda mu: run_pod_gp_hprom.main(
-            mu[0], mu[1], num_cells=num_cells, num_steps=num_steps,
-            f32=f32),
-    }
-
+         f32=False, redo=False, platform=None):
+    if platform:
+        os.environ["FDTPU_PLATFORM"] = platform  # inherited by subprocesses
     results = dict(np.load(out, allow_pickle=True)) \
         if os.path.exists(out) else {}
     if redo:
         stale = {f"{m}_{mu[0]}_{mu[1]}"
                  for m in models for mu in TEST_POINTS}
         results = {k: v for k, v in results.items() if k not in stale}
+    common = []
+    if num_cells:
+        common += ["--num-cells", str(num_cells)]
+    if num_steps:
+        common += ["--num-steps", str(num_steps)]
+    if f32:
+        common += ["--f32"]
     for mu in TEST_POINTS:
         for name in models:
             key = f"{name}_{mu[0]}_{mu[1]}"
             if key in results:
                 print(f"skipping {key} (done)")
                 continue
-            print(f"=== {name} at mu = {mu} ===")
-            elapsed, err = run_with_retry(runner_by_name[name], mu)
+            print(f"=== {name} at mu = {mu} ===", flush=True)
+            script, extra = SCRIPT_BY_MODEL[name]
+            elapsed, err = run_point_subproc(script, mu,
+                                             (*extra, *common))
             if elapsed is None:
                 print(f"  {key} FAILED after retries; continuing")
                 continue
@@ -70,6 +68,8 @@ if __name__ == "__main__":
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true",
                    help="re-run the selected models even if recorded")
+    p.add_argument("--platform", default=None,
+                   help="pin the jax backend (e.g. cpu)")
     a = p.parse_args()
     main(tuple(a.models), a.out, a.num_cells, a.num_steps, a.f32,
-         a.redo)
+         a.redo, a.platform)
