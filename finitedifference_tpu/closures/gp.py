@@ -26,23 +26,32 @@ from finitedifference_tpu.precision import hi_matmul
 
 
 def matern32(xa, xb, length_scale, amplitude=1.0):
-    """k(xa, xb) = amp * (1 + sqrt(3) r / l) exp(-sqrt(3) r / l)."""
-    r = jnp.linalg.norm(xa[:, None, :] - xb[None, :, :], axis=-1)
-    s = jnp.sqrt(3.0) * r / length_scale
+    """k(xa, xb) = amp * (1 + sqrt(3) r) exp(-sqrt(3) r) with
+    r = ||(xa - xb) / l||. length_scale may be a scalar (the reference's
+    isotropic Matérn, POD-GP/train_gp.py:67-74) or an (n_p,) vector
+    (ARD — per-dimension scales, the fine workbench's anisotropic-RBF
+    idea applied to the GP)."""
+    scaled = (xa[:, None, :] - xb[None, :, :]) / length_scale
+    # safe norm: length_scale now sits inside the norm, so the ARD
+    # hyper-gradient differentiates through it — d||v||/dv at v=0 is
+    # NaN on the diagonal without the floor
+    r2 = jnp.sum(scaled * scaled, axis=-1)
+    r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-36, r2.dtype)))
+    s = jnp.sqrt(3.0) * r
     return amplitude * (1.0 + s) * jnp.exp(-s)
 
 
 class GPModel(NamedTuple):
     x_train: jnp.ndarray       # (N, n_p) scaled inputs
     alpha: jnp.ndarray         # (N, n_s) = K^{-1} Y
-    length_scale: jnp.ndarray  # scalar
+    length_scale: jnp.ndarray  # scalar or (n_p,) ARD scales
     amplitude: jnp.ndarray     # scalar
     noise: float
     scaler: MinMaxScaler
 
 
 def _log_marginal_likelihood(params, x, y, noise):
-    log_amp, log_ls = params
+    log_amp, log_ls = params[0], params[1:]
     k = matern32(x, x, jnp.exp(log_ls), jnp.exp(log_amp))
     k = k + noise * jnp.eye(x.shape[0], dtype=x.dtype)
     chol = jnp.linalg.cholesky(k)
@@ -54,10 +63,11 @@ def _log_marginal_likelihood(params, x, y, noise):
         - 0.5 * n * n_out * jnp.log(2.0 * jnp.pi)
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps",))
+@functools.partial(jax.jit, static_argnames=("num_steps", "ard"))
 def _optimize_hypers(x, y, noise, num_steps: int = 200,
-                     learning_rate: float = 0.05):
-    params0 = jnp.zeros(2, x.dtype)   # log amp = log ls = 0
+                     learning_rate: float = 0.05, ard: bool = False):
+    n_ls = x.shape[1] if ard else 1
+    params0 = jnp.zeros(1 + n_ls, x.dtype)   # log amp = log ls = 0
     opt = optax.adam(learning_rate)
     loss = lambda p: -_log_marginal_likelihood(p, x, y, noise)
 
@@ -74,9 +84,11 @@ def _optimize_hypers(x, y, noise, num_steps: int = 200,
 
 def fit_gp(q_p_train, q_s_train, scaler: MinMaxScaler | None = None,
            noise: float = 1e-8, optimize: bool = True,
-           num_steps: int = 200) -> GPModel:
+           num_steps: int = 200, ard: bool = False) -> GPModel:
     """Fit a multi-output Matérn-3/2 GP (shared kernel across outputs,
-    like sklearn's multi-output GPR)."""
+    like sklearn's multi-output GPR). ard=True learns one length scale
+    per input dimension instead of the reference's single isotropic
+    scale."""
     from finitedifference_tpu.closures.common import fit_minmax
 
     q_p_train = jnp.asarray(q_p_train)
@@ -86,9 +98,10 @@ def fit_gp(q_p_train, q_s_train, scaler: MinMaxScaler | None = None,
     x = scaler.transform(q_p_train)
 
     if optimize:
-        log_amp, log_ls = _optimize_hypers(x, q_s_train, noise,
-                                           num_steps=num_steps)
-        amp, ls = jnp.exp(log_amp), jnp.exp(log_ls)
+        params = _optimize_hypers(x, q_s_train, noise,
+                                  num_steps=num_steps, ard=ard)
+        amp = jnp.exp(params[0])
+        ls = jnp.exp(params[1:]) if ard else jnp.exp(params[1])
     else:
         amp = jnp.asarray(1.0, x.dtype)
         ls = jnp.asarray(1.0, x.dtype)
@@ -116,10 +129,10 @@ def gp_jacobian(model: GPModel, y):
     chained through the MinMax scaling."""
     x = model.scaler.transform(y)
     diff = x[None, :] - model.x_train            # (N, n_p)
-    r = jnp.linalg.norm(diff, axis=1)
-    s = jnp.sqrt(3.0) * r / model.length_scale
+    r = jnp.linalg.norm(diff / model.length_scale, axis=1)
+    s = jnp.sqrt(3.0) * r
     dk = (-3.0 * model.amplitude / model.length_scale**2) \
-        * jnp.exp(-s)[:, None] * diff            # (N, n_p)
+        * jnp.exp(-s)[:, None] * diff            # (N, n_p); ls broadcasts
     jac_scaled = hi_matmul(model.alpha.T, dk)    # (n_s, n_p)
     return jac_scaled * model.scaler.scale_[None, :]
 

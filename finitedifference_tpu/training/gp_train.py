@@ -13,21 +13,21 @@ from finitedifference_tpu.training.rbf_train import remove_duplicates
 
 
 def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
-             dedup: bool = True, on_host: bool = True,
-             verbose: bool = False) -> GPModel:
+             dedup: bool = True, ard: bool = False,
+             on_host: bool = True, verbose: bool = False) -> GPModel:
     if on_host:
         from finitedifference_tpu.closures.common import run_on_host_cpu
         return run_on_host_cpu(
             train_gp, q_p, q_s, noise=noise, num_steps=num_steps,
-            dedup=dedup, on_host=False, verbose=verbose)
+            dedup=dedup, ard=ard, on_host=False, verbose=verbose)
     q_p = np.asarray(q_p)
     q_s = np.asarray(q_s)
     if dedup:
         q_p, q_s = remove_duplicates(q_p, q_s)
-    model = fit_gp(q_p, q_s, noise=noise, num_steps=num_steps)
+    model = fit_gp(q_p, q_s, noise=noise, num_steps=num_steps, ard=ard)
     if verbose:
         print(f"  gp: amplitude={float(model.amplitude):.4g} "
-              f"length_scale={float(model.length_scale):.4g}")
+              f"length_scale={np.round(np.asarray(model.length_scale), 4)}")
     return model
 
 

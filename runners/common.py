@@ -100,6 +100,17 @@ def default_config(num_cells: int | None = None, num_steps: int | None = None):
     return cfg
 
 
+def res_path(cfg, path: str) -> str:
+    """Per-resolution artifact filename: 'x.npy' -> 'x_50x50.npy' at
+    non-default resolutions. The reference keeps one directory tree per
+    grid size; on the shared filename protocol a 12^2 model/weight file
+    must never shadow the 250^2 one."""
+    if cfg.num_cells_x == 250:
+        return path
+    stem, ext = os.path.splitext(path)
+    return f"{stem}_{cfg.num_cells_x}x{cfg.num_cells_y}{ext}"
+
+
 def get_or_build_basis(cfg, grid, w0, num_modes: int,
                        path: str = None, method: str = "rsvd",
                        load_basis: bool = True):

@@ -14,14 +14,14 @@ import time
 import numpy as np
 
 from common import base_parser, default_config, default_ls, \
-    get_or_build_basis, make_problem, report, setup_jax, sync
+    get_or_build_basis, make_problem, report, res_path, setup_jax, sync
 
 WEIGHTS_PATH = "ecsw_weights_lspg.npy"
 
 
 def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
          weights_method="nnls", bc_w=50.0, num_cells=None, num_steps=None,
-         f32=False, weights_path=WEIGHTS_PATH):
+         f32=False, weights_path=None):
     setup_jax(f32)
     import jax.numpy as jnp
 
@@ -35,6 +35,8 @@ def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
 
     cfg = default_config(num_cells, num_steps)
     grid, w0 = make_problem(cfg)
+    if weights_path is None:
+        weights_path = res_path(cfg, WEIGHTS_PATH)
     dtype = jnp.float32 if f32 else jnp.float64
     basis = get_or_build_basis(cfg, grid, w0, num_modes)
 

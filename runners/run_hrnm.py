@@ -2,7 +2,7 @@
 run_HRNM_ecm.py / run_HRNM_ecsw_joshua.py, bc_w=10)."""
 
 from common import base_parser, closure_ecsw_weights, default_config, \
-    make_problem, run_manifold, setup_jax
+    make_problem, res_path, run_manifold, setup_jax
 from run_rnm import get_rnm_closure
 
 
@@ -16,7 +16,7 @@ def main(mu1=5.19, mu2=0.026, num_primary=10, num_secondary=140,
                                         num_secondary)
     weights = closure_ecsw_weights(
         cfg, grid, w0, u_p, u_s, closure,
-        weights_path=f"ecsw_weights_rnm_{weights_method}.npy",
+        weights_path=res_path(cfg, f"ecsw_weights_rnm_{weights_method}.npy"),
         method=weights_method, bc_w=bc_w, compute=compute_ecsw)
     import numpy as np
     print(f"N_e = {int((weights > 0).sum())}")

@@ -4,7 +4,7 @@ run_POD_GP_HPROM_ecsw.py / _multilevel.py)."""
 import os
 
 from common import base_parser, closure_ecsw_weights, default_config, \
-    make_problem, run_manifold, setup_jax, split_training
+    make_problem, res_path, run_manifold, setup_jax, split_training
 
 MODEL_PATH = "pod_gp_model.npz"
 
@@ -26,17 +26,18 @@ def main(mu1=5.19, mu2=0.026, num_primary=10, num_secondary=140,
     u_p, u_s, q_p, q_s = split_training(cfg, grid, w0,
                                         num_primary + num_secondary,
                                         num_primary, num_secondary)
-    if retrain or not os.path.exists(MODEL_PATH):
+    model_path = res_path(cfg, MODEL_PATH)
+    if retrain or not os.path.exists(model_path):
         # subsample the trajectory for the cubic-cost GP fit
         model = train_gp(q_p[::subsample], q_s[::subsample], verbose=True)
-        save_gp(model, MODEL_PATH)
+        save_gp(model, model_path)
     else:
-        model = load_gp(MODEL_PATH)
+        model = load_gp(model_path)
     closure = gp_closure(model)
 
     weights = closure_ecsw_weights(
         cfg, grid, w0, u_p, u_s, closure,
-        weights_path=f"ecsw_weights_gp_{weights_method}.npy",
+        weights_path=res_path(cfg, f"ecsw_weights_gp_{weights_method}.npy"),
         method=weights_method, bc_w=bc_w, compute=compute_ecsw)
     print(f"N_e = {int((weights > 0).sum())}")
     return run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2,

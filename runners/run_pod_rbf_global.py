@@ -11,7 +11,7 @@ MODEL_PATH = "pod_rbf_global_model.npz"
 
 
 def get_global_rbf(cfg, grid, w0, num_primary, num_secondary,
-                   model_path=MODEL_PATH, retrain=False):
+                   model_path=None, retrain=False):
     from finitedifference_tpu.closures.rbf import global_rbf_closure
     from finitedifference_tpu.training.rbf_train import (
         load_global_rbf,
@@ -19,6 +19,10 @@ def get_global_rbf(cfg, grid, w0, num_primary, num_secondary,
         train_global_rbf,
     )
 
+    from common import res_path
+
+    if model_path is None:
+        model_path = res_path(cfg, MODEL_PATH)
     u_p, u_s, q_p, q_s = split_training(cfg, grid, w0,
                                         num_primary + num_secondary,
                                         num_primary, num_secondary)

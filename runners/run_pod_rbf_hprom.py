@@ -2,7 +2,7 @@
 (reference run_POD_RBF_global_HPROM_*.py / run_POD_RBF_HPROM*.py)."""
 
 from common import base_parser, closure_ecsw_weights, default_config, \
-    make_problem, run_manifold, setup_jax, split_training
+    make_problem, res_path, run_manifold, setup_jax, split_training
 from run_pod_rbf_global import get_global_rbf
 
 
@@ -31,7 +31,7 @@ def main(mu1=5.19, mu2=0.026, num_primary=10, num_secondary=140,
 
     weights = closure_ecsw_weights(
         cfg, grid, w0, u_p, u_s, closure,
-        weights_path=f"ecsw_weights_rbf_{variant}_{weights_method}.npy",
+        weights_path=res_path(cfg, f"ecsw_weights_rbf_{variant}_{weights_method}.npy"),
         method=weights_method, bc_w=bc_w, compute=compute_ecsw)
     print(f"N_e = {int((weights > 0).sum())}")
     return run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2,

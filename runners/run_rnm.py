@@ -10,13 +10,17 @@ MODEL_PATH = "rnm_model.msgpack"
 
 
 def get_rnm_closure(cfg, grid, w0, num_primary, num_secondary,
-                    model_path=MODEL_PATH, epochs=5000, retrain=False):
+                    model_path=None, epochs=5000, retrain=False):
     import jax.numpy as jnp
 
     from finitedifference_tpu.closures.ann import init_rnm, rnm_closure
     from finitedifference_tpu.training.monitor import load_checkpoint
     from finitedifference_tpu.training.rnm_train import train_rnm
 
+    from common import res_path
+
+    if model_path is None:
+        model_path = res_path(cfg, MODEL_PATH)
     # the MLP regression is cheap (unlike cubic-cost kernel fits):
     # use all projected pairs
     u_p, u_s, q_p, q_s = split_training(cfg, grid, w0,

@@ -38,7 +38,7 @@ class TestRunnerSmoke:
         _, err = run_hprom.main(4.75, 0.02, num_modes=6, compute_ecsw=True,
                                 bc_w=5.0, **SMALL)
         assert err < 5.0
-        assert os.path.exists("ecsw_weights_lspg.npy")
+        assert os.path.exists("ecsw_weights_lspg_12x12.npy")
 
     def test_pod_rbf_global(self, runner_cwd):
         import run_pod_rbf_global
