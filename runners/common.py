@@ -360,10 +360,21 @@ def run_point_subproc(script: str, mu, extra_args=(), retries: int = 2,
     here = os.path.dirname(os.path.abspath(__file__))
     cmd = [sys.executable, os.path.join(here, script),
            "--mu1", str(mu[0]), "--mu2", str(mu[1]), *extra_args]
+    env = dict(os.environ)
+    if env.get("FDTPU_PLATFORM") == "cpu":
+        # CPU-pinned children must not claim an axon tunnel session:
+        # this image's sitecustomize calls axon register() at EVERY
+        # interpreter start when PALLAS_AXON_POOL_IPS is set, and
+        # concurrent sessions starve TPU-needing processes (whose
+        # registration then fails with "Backend 'axon' is not in the
+        # list of known backends"). Clearing the var skips registration
+        # entirely, and JAX_PLATFORMS=cpu then takes effect normally.
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
     for attempt in range(retries + 1):
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=timeout_s)
+                                  timeout=timeout_s, env=env)
             out = proc.stdout
             print(out[-2000:], end="")
             el = re.findall(r"Elapsed .* time: ([\d.e+-]+) s", out)
