@@ -34,6 +34,27 @@ def _stderr(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _ensure_device():
+    """Survive axon tunnel outage windows: registration happens once at
+    interpreter startup (sitecustomize), so a failed registration can
+    only be retried by a FRESH interpreter — re-exec ourselves with a
+    bounded attempt counter (the tunnel flaps with multi-minute
+    outages; see CLAUDE.md)."""
+    import jax
+
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        n = int(os.environ.get("BENCH_REEXEC", "0"))
+        if n >= 20:
+            raise
+        _stderr(f"bench: no usable backend ({str(e)[:120]}); "
+                f"re-exec attempt {n + 1}/20 in 120s")
+        time.sleep(120)
+        os.environ["BENCH_REEXEC"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
 
@@ -63,7 +84,7 @@ def main():
     skip_roms = os.environ.get("BENCH_SKIP_ROMS", "") == "1"
     dt = 0.05
 
-    dev = jax.devices()[0]
+    dev = _ensure_device()[0]
     _stderr(f"bench: device={dev}, grid={n}x{n}, f64 Newton + f32 "
             f"solves/storage, {meas_steps} measured steps")
 
