@@ -96,6 +96,40 @@ def plot_slices(num_cells, num_steps, out_prefix: str):
         print(f"saved {out}")
 
 
+def plot_model_comparison(results_files, out="rom_comparison.png"):
+    """One figure comparing every validated model family across the
+    canonical test points (role of the reference's
+    Paper_Results/compare_and_plot_proms.py:69-91, which plots HPROM vs
+    HPROM-ANN vs HPROM-GPR vs HPROM-RBF): grouped error bars per model,
+    merged from all rom_results*.npz archives."""
+    data = {}
+    for rf in results_files:
+        if os.path.exists(rf):
+            data.update(dict(np.load(rf)))
+    models = sorted({k.rsplit("_", 2)[0] for k in data} - {"fom"})
+    mus = sorted({"_".join(k.rsplit("_", 2)[1:]) for k in data
+                  if not k.startswith("fom_")})
+    fig, ax = plt.subplots(figsize=(11, 4.5))
+    width = 0.9 / max(len(models), 1)
+    for i, m in enumerate(models):
+        xs, errs = [], []
+        for j, mu in enumerate(mus):
+            key = f"{m}_{mu}"
+            if key in data and np.isfinite(data[key][1]):
+                xs.append(j + i * width)
+                errs.append(data[key][1])
+        ax.bar(xs, errs, width=width, label=m)
+    ax.set_ylabel("relative error (%)")
+    ax.set_xticks([j + 0.45 for j in range(len(mus))],
+                  [f"({mu.replace('_', ', ')})" for mu in mus])
+    ax.set_xlabel("(mu1, mu2)")
+    ax.legend(fontsize=8, ncols=3)
+    ax.grid(True, axis="y", alpha=0.4)
+    fig.tight_layout()
+    fig.savefig(out, dpi=200)
+    print(f"saved {out}")
+
+
 def _find_hdm(cfg, mu1, mu2):
     """Cached FOM snapshot file matching (mu1, mu2), tolerant of float
     formatting differences between savers."""
@@ -167,13 +201,18 @@ def plot_fields(num_cells, num_steps, animate=False):
             print(f"saved anim*_{tag}.gif")
 
 
-def main(results=("rom_results.npz", "rom_results_hprom.npz"),
+def main(results=("rom_results.npz", "rom_results_hprom.npz",
+                  "rom_results_ae.npz"),
          num_cells=None, num_steps=None, slices=True, fields=False,
          animate=False):
     setup_jax()
     for rf in results:
-        if os.path.exists(rf):
+        # the AE archive is at its 50^2 reference scale: a speedup bar
+        # against the 250^2 FOM would be meaningless; it still joins
+        # the error-comparison figure
+        if os.path.exists(rf) and "ae" not in rf:
             plot_speedups(rf, rf.replace(".npz", "_speedup.png"))
+    plot_model_comparison(results)
     if slices:
         plot_slices(num_cells, num_steps, "slice_")
     if fields or animate:

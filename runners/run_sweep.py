@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 from common import default_config, get_or_build_basis, make_problem, \
-    setup_jax, sync
+    res_path, setup_jax, sync
 
 
 def main(n_mu1=3, n_mu2=3, model="fom", num_modes=95, num_cells=None,
@@ -56,7 +56,7 @@ def main(n_mu1=3, n_mu2=3, model="fom", num_modes=95, num_cells=None,
         from finitedifference_tpu.rom import prepare_hprom
 
         basis = get_or_build_basis(cfg, grid, w0, num_modes)
-        weights = np.load("ecsw_weights_lspg.npy")
+        weights = np.load(res_path(cfg, "ecsw_weights_lspg.npy"))
         smesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
         y0 = jnp.asarray(basis.T @ w0, dtype)
         print(f"N_e = {int((weights > 0).sum())}")
