@@ -361,6 +361,15 @@ def run_point_subproc(script: str, mu, extra_args=(), retries: int = 2,
     cmd = [sys.executable, os.path.join(here, script),
            "--mu1", str(mu[0]), "--mu2", str(mu[1]), *extra_args]
     env = dict(os.environ)
+    # a PYTHONPATH override must not drop the axon site dir: that's
+    # where this image's sitecustomize (TPU backend registration at
+    # interpreter start) lives — without it the child runs with NO
+    # usable TPU backend and fails as "Backend 'axon' is not in the
+    # list of known backends"
+    site_dir = "/root/.axon_site"
+    if os.path.isdir(site_dir) and \
+            site_dir not in env.get("PYTHONPATH", site_dir):
+        env["PYTHONPATH"] = env["PYTHONPATH"] + os.pathsep + site_dir
     if env.get("FDTPU_PLATFORM") == "cpu":
         # CPU-pinned children must not claim an axon tunnel session:
         # this image's sitecustomize calls axon register() at EVERY
