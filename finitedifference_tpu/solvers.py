@@ -48,6 +48,35 @@ def lstsq_normal(a: jnp.ndarray, b: jnp.ndarray,
     return cho_solve(cho_factor(g), jnp.matmul(a.T, b, precision=hi))
 
 
+def lstsq_normal_cg(a: jnp.ndarray, b: jnp.ndarray,
+                    iters: int = 24) -> jnp.ndarray:
+    """Normal equations solved by UNROLLED conjugate gradient.
+
+    Same system as lstsq_normal, but the k x k solve is a fixed number
+    of straight-line matvecs instead of a Cholesky factorization — on
+    TPU the blocked Cholesky lowers to a sequential while_loop whose
+    per-trip latency dominates for tiny k (~95), while 24 unrolled
+    95x95 matvecs are pure MXU work. LSPG Gram matrices here are
+    I + O(dt)-conditioned, so CG converges far below the Gauss-Newton
+    stagnation threshold within ~20 iterations."""
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.matmul(a.T, a, precision=hi)
+    rhs = jnp.matmul(a.T, b, precision=hi)
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    p = r
+    rs = jnp.vdot(r, r)
+    for _ in range(iters):
+        gp = jnp.matmul(g, p, precision=hi)
+        alpha = rs / jnp.vdot(p, gp)
+        x = x + alpha * p
+        r = r - alpha * gp
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    return x
+
+
 def lstsq_svd(a: jnp.ndarray, b: jnp.ndarray,
               rcond: float = 1e-6) -> jnp.ndarray:
     """Least squares via truncated SVD: singular directions below
@@ -156,7 +185,7 @@ def gauss_newton(
         if weights is not None:
             jv = weights[:, None] * jv
         solve_ls = {"normal": lstsq_normal, "svd": lstsq_svd,
-                    "qr": lstsq_qr}[ls_method]
+                    "cg": lstsq_normal_cg, "qr": lstsq_qr}[ls_method]
         if ls_dtype is not None:
             dy = solve_ls(jv.astype(ls_dtype),
                           (-fw).astype(ls_dtype)).astype(y.dtype)

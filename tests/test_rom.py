@@ -184,3 +184,18 @@ class TestRobustManifoldGN:
                              - np.asarray(b.red_coords)) / \
             np.linalg.norm(np.asarray(a.red_coords))
         assert rel < 1e-10
+
+    def test_lstsq_normal_cg_matches_cholesky(self):
+        from finitedifference_tpu.solvers import (
+            lstsq_normal,
+            lstsq_normal_cg,
+        )
+        rng = np.random.default_rng(0)
+        # LSPG-like: A = [I; small noise] -> well-conditioned Gram
+        A = jnp.asarray(rng.normal(size=(2000, 60)) * 0.05
+                        + np.pad(np.eye(60), ((0, 1940), (0, 0))))
+        b = jnp.asarray(rng.normal(size=2000))
+        x0 = lstsq_normal(A, b)
+        x1 = lstsq_normal_cg(A, b)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-10, atol=1e-12)
