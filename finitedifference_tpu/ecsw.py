@@ -184,8 +184,10 @@ def nnls_fista(C, d, num_iters: int = 500):
     C = jnp.asarray(C)
     d = jnp.asarray(d)
     ctc = lambda v: C.T @ (C @ v)
-    # power iteration for the step size
-    b = jnp.ones(C.shape[1], C.dtype) / np.sqrt(C.shape[1])
+    # power iteration for the step size (float(): np.sqrt returns a
+    # STRONG-typed np.float64 scalar that would promote the whole FISTA
+    # carry to f64 under x64 even for f32 inputs)
+    b = jnp.ones(C.shape[1], C.dtype) / float(np.sqrt(C.shape[1]))
     def pow_step(b, _):
         nb = ctc(b)
         return nb / (jnp.linalg.norm(nb) + 1e-30), None
