@@ -148,8 +148,10 @@ def main():
             _stderr(f"bench: ROM metrics skipped ({type(e).__name__}: "
                     f"{str(e)[:200]})")
 
+    # metric name carries the full precision story (ADVICE r2): Newton
+    # residuals/tolerance are f64, inner solves + stored snaps are f32
     print(json.dumps({
-        "metric": f"fom_timesteps_per_sec_{n}x{n}_f64",
+        "metric": f"fom_timesteps_per_sec_{n}x{n}_f64newton_f32solve",
         "value": round(rate, 4),
         "unit": "timesteps/s",
         "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 2),

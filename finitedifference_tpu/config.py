@@ -63,16 +63,30 @@ class BurgersConfig:
         mu2s = np.linspace(*self.mu2_range, self.samples_per_mu)
         return [[float(m1), float(m2)] for m1 in mu1s for m2 in mu2s]
 
+    @property
+    def res_suffix(self) -> str:
+        """'' at the DEFAULT resolution, else '_{nx}x{ny}'. Keyed off the
+        dataclass defaults — not the current instance — so chained
+        with_cells calls and runner artifact paths agree on what
+        'canonical' means (ADVICE r2). One helper backs both the snapshot
+        folder and runners.common.res_path."""
+        base = type(self)()
+        if (self.num_cells_x == base.num_cells_x
+                and self.num_cells_y == base.num_cells_y):
+            return ""
+        return f"_{self.num_cells_x}x{self.num_cells_y}"
+
     def with_cells(self, n: int) -> "BurgersConfig":
         """Resolution variant. The reference keeps one directory tree per
         resolution (BurgersFD_CleanCoarse/Fine/TestAE), each with its own
         param_snaps/; here the snapshot cache moves to a per-resolution
         folder instead, so 250^2 and 750^2 trajectories for the same mu
         never collide on the filename-only protocol."""
-        folder = self.snap_folder if n == self.num_cells_x \
-            else f"param_snaps_{n}x{n}"
-        return dataclasses.replace(self, num_cells_x=n, num_cells_y=n,
-                                   snap_folder=folder)
+        new = dataclasses.replace(self, num_cells_x=n, num_cells_y=n)
+        folder = self.snap_folder
+        if self.res_suffix and folder.endswith(self.res_suffix):
+            folder = folder[: -len(self.res_suffix)]   # un-suffix first
+        return dataclasses.replace(new, snap_folder=folder + new.res_suffix)
 
 
 DEFAULT_CONFIG = BurgersConfig()

@@ -462,14 +462,29 @@ def sequential_nnls_weights(C, grid: Grid2D, batch_size: int = 5000,
 def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
                             bc_w: float = 50.0,
                             rel_err_thresh: float = 0.0,
+                            level1: str = "fista",
+                            fista_iters: int = 800,
+                            support_cap_per_block: Optional[int] = None,
+                            device_block_chunk: int = 16,
                             verbose: bool = False) -> np.ndarray:
     """Two-level domain-decomposed NNLS (reference
     run_HPROM_ecsw_multilevel.py:89-140): split interior columns into
     subdomain blocks, solve NNLS per block, then a level-2 NNLS on the
-    union of the level-1 supports. The per-block solves are independent —
-    the TPU-native analogue of the reference's joblib fan-out; blocks are
-    dispatched as batched device FISTA when they are equal-sized,
-    otherwise host NNLS per block.
+    union of the level-1 supports.
+
+    The per-block solves are independent — the reference fans them out
+    over joblib workers; here level-1 runs as ONE batched device program:
+    columns are zero-padded to equal-sized blocks and solved by a
+    vmapped jitted FISTA (`nnls_fista`), `device_block_chunk` blocks per
+    dispatch to bound device memory (level1="fista", the default).
+    level1="host" keeps the serial Lawson-Hanson path (exact per-block
+    supports, used as the parity oracle in tests). Level 2 is always an
+    exact host Lawson-Hanson on the union support, so the FINAL weights
+    are a true NNLS solution either way — level 1 is support screening.
+
+    support_cap_per_block caps each block's screened support to its
+    largest-weight entries (bounds the level-2 problem size on fine
+    grids, where the level-2 active-set cost grows as |support|^3).
     """
     C = np.asarray(C)
     ny, nx = grid.ny, grid.nx
@@ -478,13 +493,46 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
     flat_interior = np.where(interior.ravel())[0]
     Ci = C[:, flat_interior]
 
-    blocks = np.array_split(np.arange(Ci.shape[1]), num_subdomains)
     support: list = []
-    for blk in blocks:
-        wb, _, _ = nnls(Ci[:, blk], Ci[:, blk].sum(axis=1),
-                        rel_err_thresh=rel_err_thresh)
-        support.extend(blk[wb > 0].tolist())
-    support = np.asarray(sorted(support), dtype=np.int64)
+    if level1 == "fista":
+        m, ncols = Ci.shape
+        blk = -(-ncols // num_subdomains)
+        pad = blk * num_subdomains - ncols
+        Cp = np.concatenate(
+            [Ci, np.zeros((m, pad), Ci.dtype)], axis=1)
+        # (B, m, blk): contiguous column blocks as one batch axis
+        Cb = np.ascontiguousarray(
+            Cp.reshape(m, num_subdomains, blk).transpose(1, 0, 2))
+        batched = jax.jit(jax.vmap(
+            lambda c, d: nnls_fista(c, d, num_iters=fista_iters)))
+        for s in range(0, num_subdomains, device_block_chunk):
+            cb = jnp.asarray(Cb[s:s + device_block_chunk])
+            xs, rels = batched(cb, cb.sum(axis=2))
+            xs = np.asarray(xs)
+            for bi in range(xs.shape[0]):
+                x = xs[bi]
+                # projected gradient leaves exact zeros; the relative
+                # floor drops not-yet-converged dust
+                pos = np.flatnonzero(x > 1e-8 * max(x.max(), 1e-300))
+                if support_cap_per_block is not None \
+                        and pos.size > support_cap_per_block:
+                    pos = pos[np.argsort(x[pos])[::-1]
+                              [:support_cap_per_block]]
+                support.extend(
+                    int(p) for p in (s + bi) * blk + pos if p < ncols)
+            if verbose:
+                print(f"  fista blocks {s}..{s + xs.shape[0] - 1}: "
+                      f"rel err {np.asarray(rels).max():.3e}, "
+                      f"union {len(support)}")
+    elif level1 == "host":
+        blocks = np.array_split(np.arange(Ci.shape[1]), num_subdomains)
+        for blk in blocks:
+            wb, _, _ = nnls(Ci[:, blk], Ci[:, blk].sum(axis=1),
+                            rel_err_thresh=rel_err_thresh)
+            support.extend(blk[wb > 0].tolist())
+    else:
+        raise ValueError(f"unknown level1 method: {level1}")
+    support = np.asarray(sorted(set(support)), dtype=np.int64)
     if support.size == 0:
         raise ValueError(
             "multilevel NNLS: empty level-1 support — the training matrix "

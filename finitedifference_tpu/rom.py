@@ -149,22 +149,20 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
     return ROMResult(red_coords=red, total_gn_its=its)
 
 
-def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
-                 mu1, mu2, *, mesh=None, sample_weights=None,
-                 max_its: int = 20, relnorm_cutoff: float = 1e-5,
-                 min_delta: float = 0.1, ls_dtype=None,
-                 ls_method: str = "qr",
-                 line_search: bool = False) -> ROMResult:
-    """Generic LSPG ROM over a (possibly nonlinear) decoder.
+def make_manifold_stepper(grid: Grid2D, decode, dec_jac, dt, num_steps,
+                          mu1, mu2, *, dtype, mesh=None,
+                          sample_weights=None, max_its: int = 20,
+                          relnorm_cutoff: float = 1e-5,
+                          min_delta: float = 0.1, ls_dtype=None,
+                          ls_method: str = "qr",
+                          line_search: bool = False):
+    """Build the jitted online program for `manifold_rom`.
 
-    One stepper covers the reference's RNM/HRNM (hypernet2D.py:275-676),
-    POD-RBF PROM/HPROM (:678-1113), POD-GP HPROM (:1115-1277) and AE-LSPG
-    (TestAE hypernet2D.py:279-344): the variant is entirely in
-    (decode, dec_jac).
-
-    decode/dec_jac operate on the *full* state when mesh is None, or on
-    the augmented sampled rows when a SampledMesh + sample_weights are
-    given (build them with closures.manifold_decoder over gathered bases).
+    Returns a jitted `run(y0) -> (red_coords, total_gn_its)`. Exposed
+    separately so callers that need warm timings can invoke the SAME
+    compiled program repeatedly (a fresh `manifold_rom` call re-traces —
+    its closures are new Python objects each time, so the jit cache
+    misses; see runners/common.py::run_manifold).
     """
     from finitedifference_tpu.ops.sampled import (
         sampled_inflow_bc,
@@ -172,9 +170,6 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
         sampled_residual,
         sampled_source,
     )
-
-    y0 = jnp.asarray(y0)
-    dtype = y0.dtype
 
     if mesh is None:
         src = source_term(grid, mu2, dt, dtype=dtype)
@@ -211,6 +206,32 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
         red = jnp.concatenate((y0[None, :], ys), axis=0).T
         return red, its
 
+    return run
+
+
+def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
+                 mu1, mu2, *, mesh=None, sample_weights=None,
+                 max_its: int = 20, relnorm_cutoff: float = 1e-5,
+                 min_delta: float = 0.1, ls_dtype=None,
+                 ls_method: str = "qr",
+                 line_search: bool = False) -> ROMResult:
+    """Generic LSPG ROM over a (possibly nonlinear) decoder.
+
+    One stepper covers the reference's RNM/HRNM (hypernet2D.py:275-676),
+    POD-RBF PROM/HPROM (:678-1113), POD-GP HPROM (:1115-1277) and AE-LSPG
+    (TestAE hypernet2D.py:279-344): the variant is entirely in
+    (decode, dec_jac).
+
+    decode/dec_jac operate on the *full* state when mesh is None, or on
+    the augmented sampled rows when a SampledMesh + sample_weights are
+    given (build them with closures.manifold_decoder over gathered bases).
+    """
+    y0 = jnp.asarray(y0)
+    run = make_manifold_stepper(
+        grid, decode, dec_jac, dt, num_steps, mu1, mu2, dtype=y0.dtype,
+        mesh=mesh, sample_weights=sample_weights, max_its=max_its,
+        relnorm_cutoff=relnorm_cutoff, min_delta=min_delta,
+        ls_dtype=ls_dtype, ls_method=ls_method, line_search=line_search)
     red, its = run(y0)
     return ROMResult(red_coords=red, total_gn_its=its)
 

@@ -51,7 +51,18 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
     os.makedirs(snap_folder, exist_ok=True)
     snap_fn = param_to_snap_fn(mu, snap_folder=snap_folder)
     if snap_fn in get_saved_params(snap_folder=snap_folder):
-        return np.load(snap_fn)[:, : num_steps + 1]
+        cached = np.load(snap_fn)[:, : num_steps + 1]
+        # the filename protocol (byte-identical to the reference's) does
+        # not encode the stored dtype, so a trajectory cached by an f32
+        # pipeline could silently feed a full-precision consumer: warn
+        # loudly on mismatch instead (ADVICE r2)
+        expected = np.dtype(snaps_dtype) if snaps_dtype is not None \
+            else np.float64
+        if cached.dtype != expected:
+            print(f"WARNING: cached snapshot {snap_fn} is {cached.dtype} "
+                  f"but the caller expects {expected.name} — delete the "
+                  f"file to recompute at full precision")
+        return cached
 
     t0 = time.time()
     if jax.default_backend() != "cpu":

@@ -66,13 +66,20 @@ def lstsq_normal_cg(a: jnp.ndarray, b: jnp.ndarray,
     r = rhs
     p = r
     rs = jnp.vdot(r, r)
+    tiny = jnp.asarray(jnp.finfo(rhs.dtype).tiny, rhs.dtype)
     for _ in range(iters):
         gp = jnp.matmul(g, p, precision=hi)
-        alpha = rs / jnp.vdot(p, gp)
+        denom = jnp.vdot(p, gp)
+        # freeze the iterate once the residual (or curvature) underflows
+        # to zero: 0/0 here would NaN-poison the remaining unrolled
+        # iterations (ADVICE r2)
+        live = jnp.logical_and(rs > tiny, denom > tiny)
+        alpha = jnp.where(live, rs / jnp.where(live, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * gp
         rs_new = jnp.vdot(r, r)
-        p = r + (rs_new / rs) * p
+        beta = jnp.where(live, rs_new / jnp.where(live, rs, 1.0), 0.0)
+        p = r + beta * p
         rs = rs_new
     return x
 

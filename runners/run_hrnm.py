@@ -20,9 +20,11 @@ def main(mu1=5.19, mu2=0.026, num_primary=10, num_secondary=140,
         method=weights_method, bc_w=bc_w, compute=compute_ecsw)
     import numpy as np
     print(f"N_e = {int((weights > 0).sum())}")
+    prefix = "hrnm" if weights_method == "nnls" \
+        else f"hrnm_{weights_method}"
     return run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2,
                         f32=f32, weights_full=weights, label="HRNM",
-                        save_prefix="hrnm")
+                        save_prefix=prefix)
 
 
 if __name__ == "__main__":

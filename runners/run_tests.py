@@ -8,27 +8,9 @@ import time
 
 import numpy as np
 
-from common import default_config, make_problem, run_point_subproc, \
-    setup_jax
+from common import run_point_subproc
 
 TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
-
-
-def run_fom_point(cfg, grid, w0, mu):
-    import jax.numpy as jnp
-
-    from finitedifference_tpu.snapshots import (
-        load_or_compute_snaps,
-        param_to_snap_fn,
-    )
-
-    fn = param_to_snap_fn(list(mu), snap_folder=cfg.snap_folder)
-    cached = os.path.exists(fn)
-    t0 = time.time()
-    load_or_compute_snaps(list(mu), grid, w0, cfg.dt, cfg.num_steps,
-                          snap_folder=cfg.snap_folder)
-    elapsed = time.time() - t0
-    return elapsed if not cached else np.nan
 
 
 SCRIPT_BY_MODEL = {
@@ -45,19 +27,20 @@ SCRIPT_BY_MODEL = {
 def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
          out="rom_results.npz", num_cells=None, num_steps=None,
          f32=False, redo=False, platform=None):
+    """Pure orchestrator: every measurement (FOM included) runs in a
+    fresh subprocess with the --warm protocol, so the recorded timings
+    are warm-program wall-clocks consistent with bench.py (VERDICT r2
+    #3), and the driver itself never claims a TPU tunnel session."""
     if platform:
         os.environ["FDTPU_PLATFORM"] = platform  # inherited by subprocesses
-    setup_jax(f32)
-    cfg = default_config(num_cells, num_steps)
-    grid, w0 = make_problem(cfg)
 
     results = dict(np.load(out, allow_pickle=True)) \
         if os.path.exists(out) else {}
     if redo:
         stale = {f"{m}_{mu[0]}_{mu[1]}"
-                 for m in models for mu in TEST_POINTS}
+                 for m in ("fom", *models) for mu in TEST_POINTS}
         results = {k: v for k, v in results.items() if k not in stale}
-    common = []
+    common = ["--warm"]
     if num_cells:
         common += ["--num-cells", str(num_cells)]
     if num_steps:
@@ -66,10 +49,11 @@ def main(models=("prom", "rnm", "pod_rbf", "pod_rbf_global"),
         common += ["--f32"]
     for mu in TEST_POINTS:
         key_fom = f"fom_{mu[0]}_{mu[1]}"
-        if key_fom not in results:
-            results[key_fom] = np.array(
-                [run_fom_point(cfg, grid, w0, mu), 0.0])
-            np.savez(out, **results)
+        if key_fom not in results or not np.isfinite(results[key_fom][0]):
+            elapsed, _ = run_point_subproc("run_fom.py", mu, tuple(common))
+            if elapsed is not None:
+                results[key_fom] = np.array([elapsed, 0.0])
+                np.savez(out, **results)
         for name in models:
             key = f"{name}_{mu[0]}_{mu[1]}"
             if key in results:

@@ -17,6 +17,18 @@ SCRIPT_BY_MODEL = {
     "hrnm": ("run_hrnm.py", ()),
     "pod_rbf_hprom": ("run_pod_rbf_hprom.py", ()),
     "pod_gp_hprom": ("run_pod_gp_hprom.py", ()),
+    # kNN-RBF hyper-reduced variant (reference run_POD_RBF_HPROM*.py)
+    "pod_rbf_hprom_knn": ("run_pod_rbf_hprom.py", ("--variant", "knn")),
+    # ECM-weighted families (reference run_HPROM_ecm.py / run_HRNM_ecm.py)
+    "hprom_ecm": ("run_hprom.py", ("--weights-method", "ecm")),
+    "hrnm_ecm": ("run_hrnm.py", ("--weights-method", "ecm")),
+    # device-FISTA-screened multilevel NNLS weights
+    # (reference run_HPROM_ecsw_multilevel.py's joblib fan-out)
+    "hprom_multilevel": ("run_hprom.py", ("--weights-method",
+                                          "multilevel")),
+    # sequential batched NNLS (fine run_HRNM_ecsw_joshua_sequential.py)
+    "hprom_sequential": ("run_hprom.py", ("--weights-method",
+                                          "sequential")),
 }
 
 
@@ -31,7 +43,7 @@ def main(models=("hprom", "hrnm", "pod_rbf_hprom", "pod_gp_hprom"),
         stale = {f"{m}_{mu[0]}_{mu[1]}"
                  for m in models for mu in TEST_POINTS}
         results = {k: v for k, v in results.items() if k not in stale}
-    common = []
+    common = ["--warm"]
     if num_cells:
         common += ["--num-cells", str(num_cells)]
     if num_steps:

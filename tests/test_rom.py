@@ -199,3 +199,69 @@ class TestRobustManifoldGN:
         x1 = lstsq_normal_cg(A, b)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                    rtol=1e-10, atol=1e-12)
+
+
+class TestTensorHPROM:
+    """rom_tensor: the quadratic-form HPROM must reproduce the generic
+    sampled-gather HPROM trajectory exactly (same math, same stopping
+    rules — VERDICT r2 #4)."""
+
+    def _mesh_problem(self, steps=20):
+        from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
+
+        grid, ops, xc, w0, basis = setup_problem(num_steps=steps)
+        rng = np.random.default_rng(7)
+        weights = np.zeros(grid.n_cells)
+        chosen = rng.choice(grid.n_cells, size=40, replace=False)
+        weights[chosen] = 1.0 + rng.uniform(size=40)
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        ref = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, steps,
+                         MU[0], MU[1], ls_method="normal")
+        return grid, mesh, sw, y0, basis_aug, ref, steps
+
+    def test_matches_generic_hprom(self):
+        from finitedifference_tpu.rom_tensor import (
+            precompute_hprom_tensors,
+            tensor_hprom,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        tens = precompute_hprom_tensors(grid, mesh, sw, basis_aug, DT)
+        res = tensor_hprom(grid, mesh, sw, y0, tens, DT, steps,
+                           MU[0], MU[1], ls_method="normal")
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-8, atol=1e-10)
+        assert int(res.total_gn_its) == int(ref.total_gn_its)
+
+    def test_unrolled_matches_while_loop(self):
+        from finitedifference_tpu.rom_tensor import (
+            precompute_hprom_tensors,
+            tensor_hprom,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        tens = precompute_hprom_tensors(grid, mesh, sw, basis_aug, DT)
+        # budget >= the dynamic loop's worst per-step count -> identical
+        res = tensor_hprom(grid, mesh, sw, y0, tens, DT, steps,
+                           MU[0], MU[1], unroll_its=20,
+                           ls_method="normal")
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-8, atol=1e-10)
+        assert int(res.total_gn_its) == int(ref.total_gn_its)
+
+    def test_cg_solver_close(self):
+        from finitedifference_tpu.rom_tensor import (
+            precompute_hprom_tensors,
+            tensor_hprom,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        tens = precompute_hprom_tensors(grid, mesh, sw, basis_aug, DT)
+        res = tensor_hprom(grid, mesh, sw, y0, tens, DT, steps,
+                           MU[0], MU[1], ls_method="cg")
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-5, atol=1e-7)
