@@ -124,21 +124,22 @@ def main():
                 f"{its} Newton its ({its / meas_steps:.1f}/step)")
     rate = sorted(rates)[1]
 
-    # HBM bandwidth-utilization estimate for the FOM hot loop: per Newton
-    # iteration the skewed engine reads/writes ~14 field-sized f32 arrays
-    # (residual stencils, two wavefront solves, state updates); this is a
-    # traffic model, not a measurement — serves the role of MFU for a
-    # bandwidth-bound stencil code (the MXU is idle in the FOM).
-    field_bytes = grid.n_cells * 4
-    bytes_per_it = 14 * 2 * field_bytes          # u and v components
-    gbps = rate * (newton_its / meas_steps) * bytes_per_it / 1e9
     extra = {
         "precision": "f64_newton_f32_solve_f32_snaps",
         "fom_newton_its_per_step": round(newton_its / meas_steps, 2),
-        "fom_hbm_traffic_gbps_model": round(gbps, 1),
-        "fom_hbm_utilization_pct_model": round(100 * gbps / HBM_PEAK_GBPS,
-                                               1),
     }
+
+    # ---------------- measured FOM roofline (VERDICT r2 #8) -------------
+    # Time the Newton body's two sub-programs (skewed residual, Pallas
+    # wavefront solve) as scanned loops at the same 750^2 shapes, and
+    # convert to achieved HBM GB/s from their exact array traffic. This
+    # replaces round 2's 14-array traffic *model* with a measurement.
+    try:
+        extra.update(fom_roofline(grid, dt,
+                                  rate * newton_its / meas_steps))
+    except Exception as e:  # noqa: BLE001 — headline must still print
+        _stderr(f"bench: roofline skipped ({type(e).__name__}: "
+                f"{str(e)[:200]})")
 
     # ---------------- reduced models at 250^2, f32 online ----------------
     if not skip_roms:
@@ -157,6 +158,94 @@ def main():
         "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 2),
         "extra": extra,
     }))
+
+
+def fom_roofline(grid, dt, newton_its_per_sec, reps=200):
+    """Measured per-sub-op bandwidth of the 750^2 Newton body.
+
+    Each sub-op runs `reps` times inside ONE jitted lax.scan whose carry
+    threads the output back into the input (defeats CSE/hoisting), so
+    per-iteration time is dispatch-free. Traffic accounting per trip
+    (each field is ONE padded (nd_pad, ny_pad) array; u and v are
+    separate fields):
+
+      residual trip: reads u, v, up, vp, src, lbc, valid (7 f64) +
+                     carry writes u, v (2) + residual writes ru, rv (2)
+                     -> 11 f64 fields
+      solve trip:    f64 reads u, v + writes u, v (4 f64) + f32 cast
+                     writes (2), kernel reads (4) + writes (2), update
+                     reads du, dv (2) -> 10 f32 = 5 f64-equivalents
+                     -> 9 f64 fields
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.ops import skewed as sk
+    from finitedifference_tpu.ops.pallas_wavefront import (
+        solve_skewed_pallas,
+    )
+
+    lay = sk.make_layout(grid)
+    f64 = jnp.float64
+    valid = sk.valid_mask(lay, f64)
+    src = sk.skewed_source(lay, grid, 0.02, dt, f64)
+    lbc = sk.skewed_inflow_bc(lay, grid, 4.75, dt, f64)
+    u0 = valid * 1.0
+    v0 = valid * 1.0
+    slot_bytes_f64 = lay.nd_pad * lay.ny_pad * 8
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def res_loop(u, v, n):
+        def body(c, _):
+            uu, vv = c
+            ru, rv = sk.skewed_residual(uu, vv, u, v, dt, grid, lay,
+                                        src, lbc, valid)
+            return (uu + 1e-12 * ru, vv + 1e-12 * rv), ()
+        (uu, vv), _ = jax.lax.scan(body, (u, v), None, length=n)
+        return jnp.sum(uu) + jnp.sum(vv)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def solve_loop(u, v, n):
+        ru, rv = sk.skewed_residual(u, v, u, v, dt, grid, lay,
+                                    src, lbc, valid)
+
+        def body(c, _):
+            uu, vv = c
+            du, dv = solve_skewed_pallas(uu, vv, ru, rv, dt, grid, lay)
+            return (uu + 1e-12 * du.astype(f64),
+                    vv + 1e-12 * dv.astype(f64)), ()
+        (uu, vv), _ = jax.lax.scan(body, (u, v), None, length=n)
+        return jnp.sum(uu) + jnp.sum(vv)
+
+    out = {}
+    for name, fn, fields_bytes in (
+        ("residual", res_loop, 11 * slot_bytes_f64),
+        ("wavefront_solve", solve_loop, 9 * slot_bytes_f64),
+    ):
+        float(fn(u0, v0, 2))   # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(fn(u0, v0, reps))
+            ts.append((time.time() - t0) / reps)
+        t = sorted(ts)[1]
+        gbps = fields_bytes / t / 1e9
+        out[f"fom_{name}_us_per_it_measured"] = round(t * 1e6, 1)
+        out[f"fom_{name}_gbps_measured"] = round(gbps, 1)
+        _stderr(f"bench: roofline {name}: {t * 1e6:.0f} us/it, "
+                f"{gbps:.0f} GB/s achieved")
+
+    # whole-body achieved bandwidth from the headline rate: residual
+    # (9: no separate carry write there — updates fold into the solve's)
+    # + norm reads (2) + solve (9) per Newton iteration
+    body_bytes = (9 + 2 + 9) * slot_bytes_f64
+    gbps_body = newton_its_per_sec * body_bytes / 1e9
+    out["fom_newton_body_gbps_achieved"] = round(gbps_body, 1)
+    out["fom_hbm_utilization_pct_measured"] = round(
+        100 * gbps_body / HBM_PEAK_GBPS, 1)
+    return out
 
 
 def rom_metrics(dt, steps=500):
@@ -232,6 +321,25 @@ def rom_metrics(dt, steps=500):
     out["hprom_250_f32_timesteps_per_sec"] = round(steps / el, 1)
     _stderr(f"bench: HPROM 250^2 f32 (N_e={mesh.n_sample}): "
             f"{el:.3f}s / {steps} steps")
+
+    # tensorized single-run HPROM (rom_tensor.py, VERDICT r2 #4): the
+    # same trajectory from ~10 dense kernels per GN iteration
+    from finitedifference_tpu.rom_tensor import (
+        precompute_hprom_tensors,
+        tensor_hprom,
+    )
+    tens = precompute_hprom_tensors(grid, mesh, sw32, ba32, dt)
+    el = timed(lambda: float(jnp.sum(tensor_hprom(
+        grid, mesh, sw32, y0, tens, dt, steps, 4.75, 0.02,
+        ls_method="normal").red_coords)))
+    out["hprom_tensor_250_f32_timesteps_per_sec"] = round(steps / el, 1)
+    _stderr(f"bench: tensor HPROM 250^2 f32: {el:.3f}s / {steps} steps")
+    el = timed(lambda: float(jnp.sum(tensor_hprom(
+        grid, mesh, sw32, y0, tens, dt, steps, 4.75, 0.02,
+        unroll_its=3, ls_method="normal").red_coords)))
+    out["hprom_tensor_unroll3_250_f32_timesteps_per_sec"] = \
+        round(steps / el, 1)
+    _stderr(f"bench: tensor HPROM unroll3: {el:.3f}s / {steps} steps")
 
     mus = jnp.asarray(np.array(
         [[m1, m2] for m1 in (4.4, 4.9, 5.4) for m2 in (.016, .022, .028)]),

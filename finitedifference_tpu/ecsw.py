@@ -374,11 +374,36 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
 # runner-level weight recipes
 # --------------------------------------------------------------------------
 
+def interior_mask(grid: Grid2D, ring: str = "full") -> np.ndarray:
+    """Boolean (ny, nx) mask of NNLS/ECM *candidate* cells; the
+    complement gets the fixed bc_w weight.
+
+    ring='full'   — the reference recipe: the whole boundary ring is
+                    fixed-weighted (run_HPROM_ecsw_joshua.py:55-111).
+    ring='inflow' — only the x=0 column (where the mu1 Dirichlet inflow
+                    actually acts) is fixed; the other three sides become
+                    ordinary candidates. At 750^2 the full ring alone is
+                    ~3,000 cells — more than a good interior sampling —
+                    so the fine-grid recipe uses this (validated against
+                    'full' at the canonical points, RESULTS.md).
+    """
+    ny, nx = grid.ny, grid.nx
+    m = np.ones((ny, nx), dtype=bool)
+    if ring == "full":
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False
+    elif ring == "inflow":
+        m[:, 0] = False
+    else:
+        raise ValueError(f"unknown ring mode: {ring}")
+    return m
+
+
 def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
                          method: str = "nnls",
                          rel_err_thresh: float = 0.0,
                          max_support: Optional[int] = None,
                          ecm_tolerance: float = 1e-2,
+                         ring: str = "full",
                          verbose: bool = False) -> np.ndarray:
     """Full-grid ECSW weight field from a training matrix C (rows, n_cells).
 
@@ -390,8 +415,7 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
     """
     C = np.asarray(C)
     ny, nx = grid.ny, grid.nx
-    interior = np.zeros((ny, nx), dtype=bool)
-    interior[1:-1, 1:-1] = True
+    interior = interior_mask(grid, ring)
     flat_interior = interior.ravel()
     Ci = C[:, flat_interior]
 
@@ -421,6 +445,7 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
 def sequential_nnls_weights(C, grid: Grid2D, batch_size: int = 5000,
                             bc_w: float = 50.0,
                             rel_err_thresh: float = 0.0,
+                            ring: str = "full",
                             verbose: bool = False) -> np.ndarray:
     """Sequential batched NNLS over column blocks (role of the fine
     variant run_HRNM_ecsw_joshua_sequential.py:168-195): solve NNLS on
@@ -429,8 +454,7 @@ def sequential_nnls_weights(C, grid: Grid2D, batch_size: int = 5000,
     a cleanup solve on the accumulated support."""
     C = np.asarray(C)
     ny, nx = grid.ny, grid.nx
-    interior = np.zeros((ny, nx), dtype=bool)
-    interior[1:-1, 1:-1] = True
+    interior = interior_mask(grid, ring)
     flat_interior = np.where(interior.ravel())[0]
     Ci = C[:, flat_interior]
 
@@ -466,6 +490,7 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
                             fista_iters: int = 800,
                             support_cap_per_block: Optional[int] = None,
                             device_block_chunk: int = 16,
+                            ring: str = "full",
                             verbose: bool = False) -> np.ndarray:
     """Two-level domain-decomposed NNLS (reference
     run_HPROM_ecsw_multilevel.py:89-140): split interior columns into
@@ -488,8 +513,7 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
     """
     C = np.asarray(C)
     ny, nx = grid.ny, grid.nx
-    interior = np.zeros((ny, nx), dtype=bool)
-    interior[1:-1, 1:-1] = True
+    interior = interior_mask(grid, ring)
     flat_interior = np.where(interior.ravel())[0]
     Ci = C[:, flat_interior]
 

@@ -150,7 +150,7 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
 
 
 def make_manifold_stepper(grid: Grid2D, decode, dec_jac, dt, num_steps,
-                          mu1, mu2, *, dtype, mesh=None,
+                          *, dtype, mesh=None,
                           sample_weights=None, max_its: int = 20,
                           relnorm_cutoff: float = 1e-5,
                           min_delta: float = 0.1, ls_dtype=None,
@@ -158,11 +158,14 @@ def make_manifold_stepper(grid: Grid2D, decode, dec_jac, dt, num_steps,
                           line_search: bool = False):
     """Build the jitted online program for `manifold_rom`.
 
-    Returns a jitted `run(y0) -> (red_coords, total_gn_its)`. Exposed
-    separately so callers that need warm timings can invoke the SAME
-    compiled program repeatedly (a fresh `manifold_rom` call re-traces —
-    its closures are new Python objects each time, so the jit cache
-    misses; see runners/common.py::run_manifold).
+    Returns a jitted `run(y0, mu1, mu2) -> (red_coords, total_gn_its)`.
+    Exposed separately so callers that need warm timings can invoke the
+    SAME compiled program repeatedly (a fresh `manifold_rom` call
+    re-traces — its closures are new Python objects each time, so the
+    jit cache misses; see runners/common.py::run_manifold). (mu1, mu2)
+    are runtime arguments, so one compile covers every test point — on
+    this environment's remote-compile service a single closure-ROM
+    compile costs minutes, the run itself seconds.
     """
     from finitedifference_tpu.ops.sampled import (
         sampled_inflow_bc,
@@ -171,35 +174,39 @@ def make_manifold_stepper(grid: Grid2D, decode, dec_jac, dt, num_steps,
         sampled_source,
     )
 
-    if mesh is None:
-        src = source_term(grid, mu2, dt, dtype=dtype)
-        lbc = inflow_bc_term(grid, mu1, dt, dtype=dtype)
-        res_builder = lambda wp: (lambda w: burgers_residual_flat(
-            w, wp, mu1, mu2, dt, grid, src, lbc))
-        jac_apply = lambda w, v: jacobian_times_basis(w, v, dt, grid)
-        wgt = None
-    else:
-        src = sampled_source(mesh, grid, mu2, dt, dtype)
-        lbc = sampled_inflow_bc(mesh, grid, mu1, dt, dtype)
-        res_builder = lambda wp: (lambda w: sampled_residual(
-            w, wp, mu1, mu2, dt, grid, mesh, src, lbc))
-        jac_apply = lambda w, v: sampled_jacobian_times_basis(
-            w, v, dt, grid, mesh)
-        wgt = jnp.concatenate(
-            (sample_weights, sample_weights)).astype(dtype)
-
-    def step(carry, _):
-        yp, wp, its = carry
-        out = gauss_newton(decode, dec_jac, res_builder(wp), jac_apply, yp,
-                           weights=wgt, max_its=max_its,
-                           relnorm_cutoff=relnorm_cutoff,
-                           min_delta=min_delta, ls_dtype=ls_dtype,
-                           ls_method=ls_method, line_search=line_search)
-        w = decode(out.y)
-        return (out.y, w, its + out.num_its), out.y
-
     @jax.jit
-    def run(y0):
+    def run(y0, mu1, mu2):
+        mu1 = jnp.asarray(mu1, dtype)
+        mu2 = jnp.asarray(mu2, dtype)
+        if mesh is None:
+            src = source_term(grid, mu2, dt, dtype=dtype)
+            lbc = inflow_bc_term(grid, mu1, dt, dtype=dtype)
+            res_builder = lambda wp: (lambda w: burgers_residual_flat(
+                w, wp, mu1, mu2, dt, grid, src, lbc))
+            jac_apply = lambda w, v: jacobian_times_basis(w, v, dt, grid)
+            wgt = None
+        else:
+            src = sampled_source(mesh, grid, mu2, dt, dtype)
+            lbc = sampled_inflow_bc(mesh, grid, mu1, dt, dtype)
+            res_builder = lambda wp: (lambda w: sampled_residual(
+                w, wp, mu1, mu2, dt, grid, mesh, src, lbc))
+            jac_apply = lambda w, v: sampled_jacobian_times_basis(
+                w, v, dt, grid, mesh)
+            wgt = jnp.concatenate(
+                (sample_weights, sample_weights)).astype(dtype)
+
+        def step(carry, _):
+            yp, wp, its = carry
+            out = gauss_newton(decode, dec_jac, res_builder(wp),
+                               jac_apply, yp,
+                               weights=wgt, max_its=max_its,
+                               relnorm_cutoff=relnorm_cutoff,
+                               min_delta=min_delta, ls_dtype=ls_dtype,
+                               ls_method=ls_method,
+                               line_search=line_search)
+            w = decode(out.y)
+            return (out.y, w, its + out.num_its), out.y
+
         w0 = decode(y0)
         (_, _, its), ys = jax.lax.scan(
             step, (y0, w0, jnp.int32(0)), None, length=num_steps)
@@ -228,11 +235,11 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
     """
     y0 = jnp.asarray(y0)
     run = make_manifold_stepper(
-        grid, decode, dec_jac, dt, num_steps, mu1, mu2, dtype=y0.dtype,
+        grid, decode, dec_jac, dt, num_steps, dtype=y0.dtype,
         mesh=mesh, sample_weights=sample_weights, max_its=max_its,
         relnorm_cutoff=relnorm_cutoff, min_delta=min_delta,
         ls_dtype=ls_dtype, ls_method=ls_method, line_search=line_search)
-    red, its = run(y0)
+    red, its = run(y0, mu1, mu2)
     return ROMResult(red_coords=red, total_gn_its=its)
 
 

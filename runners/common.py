@@ -212,9 +212,9 @@ def split_training(cfg, grid, w0, num_total: int, num_primary: int,
     return np.asarray(u_p), np.asarray(u_s), q_p, q_s
 
 
-def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
+def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1=None, mu2=None, *,
                  f32=False, weights_full=None, label="ROM",
-                 save_prefix=None, warm_q1=None):
+                 save_prefix=None, warm_q1=None, points=None):
     """Online manifold-ROM run (full or hyper-reduced) + report.
 
     warm_q1: optional projected coordinates of a training trajectory at
@@ -224,6 +224,13 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     quirk): the closure GN can diverge from the uniform cold start, and
     all trajectories begin at the same w0=1 regardless of mu, so the
     training trajectory's first step is a faithful warm start.
+
+    points: optional list of (mu1, mu2) — all run through ONE compiled
+    stepper ((mu1, mu2) are runtime args) and are reported/saved
+    individually; returns a list of (elapsed, rel). On this
+    environment's remote-compile service that turns 3 multi-minute
+    compiles into 1. With (mu1, mu2) given instead, returns a single
+    (elapsed, rel) as before.
     """
     import jax
     import jax.numpy as jnp
@@ -248,6 +255,10 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     if on_tpu and not f32:
         print("note: online state in f32 on TPU (closure cores stay f64)")
 
+    single = points is None
+    if single:
+        points = [(mu1, mu2)]
+
     u_p_d = u_p.astype(dtype)
     u_s_d = u_s.astype(dtype)
     decode_full, dec_jac_full = manifold_decoder(u_p_d, u_s_d, closure)
@@ -261,7 +272,7 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
     ls_kw = default_ls(f32)
     if weights_full is None:
         run = make_manifold_stepper(grid, decode_full, dec_jac_full,
-                                    cfg.dt, num_steps, mu1, mu2,
+                                    cfg.dt, num_steps,
                                     dtype=dtype, **ls_kw)
     else:
         sample_inds = np.where(weights_full != 0)[0]
@@ -269,34 +280,43 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1, mu2, *,
         idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
         dec_s, jac_s = manifold_decoder(u_p_d[idx], u_s_d[idx], closure)
         run = make_manifold_stepper(grid, dec_s, jac_s, cfg.dt,
-                                    num_steps, mu1, mu2, dtype=dtype,
+                                    num_steps, dtype=dtype,
                                     mesh=mesh,
                                     sample_weights=jnp.asarray(
                                         weights_full[sample_inds], dtype),
                                     **ls_kw)
 
-    # time the ONLINE solve only, to the materialized reduced coords (a
-    # few-hundred-KB fetch). The full-state reconstruction below moves
-    # ~250 MB over this environment's 24 MB/s device->host tunnel —
-    # an environment artifact, not algorithmic cost (RESULTS.md).
-    if warm_enabled():
-        np.asarray(run(y_start)[0])   # compile + first execution
-    t0 = time.time()
-    red_d, total_its = run(y_start)
-    red_h = np.asarray(red_d)
-    elapsed = time.time() - t0
+    results = []
+    for m1, m2 in points:
+        def solve():
+            red_d, its = run(y_start, m1, m2)
+            return np.asarray(red_d), its
 
-    red = jnp.asarray(red_h)
-    if warm_q1 is not None:
-        red = jnp.concatenate((y0[:, None], red), axis=1)
-    rom_snaps = sync(jax.vmap(decode_full, in_axes=1,
-                              out_axes=1)(red))
-    print(f"Total GN iterations: {int(total_its)}")
+        # time the ONLINE solve only, to the materialized reduced coords
+        # (a few-hundred-KB fetch). The full-state reconstruction below
+        # moves ~250 MB over this environment's 24 MB/s device->host
+        # tunnel — an environment artifact, not algorithmic cost
+        # (RESULTS.md). The first point's untimed warm run absorbs the
+        # one compile shared by every point.
+        if warm_enabled():
+            solve()
+        t0 = time.time()
+        red_h, total_its = solve()
+        elapsed = time.time() - t0
 
-    hdm = load_or_compute_snaps([mu1, mu2], grid, w0, cfg.dt,
-                                cfg.num_steps, snap_folder=cfg.snap_folder)
-    return report(label, rom_snaps, hdm, elapsed, (mu1, mu2),
-                  save_prefix=save_prefix)
+        red = jnp.asarray(red_h)
+        if warm_q1 is not None:
+            red = jnp.concatenate((y0[:, None], red), axis=1)
+        rom_snaps = sync(jax.vmap(decode_full, in_axes=1,
+                                  out_axes=1)(red))
+        print(f"Total GN iterations: {int(total_its)}")
+
+        hdm = load_or_compute_snaps([m1, m2], grid, w0, cfg.dt,
+                                    cfg.num_steps,
+                                    snap_folder=cfg.snap_folder)
+        results.append(report(label, rom_snaps, hdm, elapsed, (m1, m2),
+                              save_prefix=save_prefix))
+    return results[0] if single else results
 
 
 def closure_ecsw_weights(cfg, grid, w0, u_p, u_s, closure, *,

@@ -81,11 +81,15 @@ def build_hprom_weights(cfg, grid, basis, weights_method, bc_w,
 
 def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
          weights_method="nnls", bc_w=50.0, num_cells=None, num_steps=None,
-         f32=False, weights_path=None):
+         f32=False, weights_path=None, engine="generic", gn_unroll=0):
     setup_jax(f32)
     import jax.numpy as jnp
 
     from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
+    from finitedifference_tpu.rom_tensor import (
+        precompute_hprom_tensors,
+        tensor_hprom,
+    )
     from finitedifference_tpu.snapshots import load_or_compute_snaps
 
     cfg = default_config(num_cells, num_steps)
@@ -108,10 +112,20 @@ def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
     sw_d, ba_d = sw.astype(dtype), basis_aug.astype(dtype)
     ls_kw = default_ls(f32)
 
-    def solve():
-        res = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
-                         cfg.num_steps, mu1, mu2, **ls_kw)
-        return np.asarray(res.red_coords)
+    if engine == "tensor":
+        tens = precompute_hprom_tensors(grid, mesh, sw_d, ba_d, cfg.dt)
+
+        def solve():
+            res = tensor_hprom(grid, mesh, sw_d, y0, tens, cfg.dt,
+                               cfg.num_steps, mu1, mu2,
+                               unroll_its=gn_unroll,
+                               ls_method="normal")
+            return np.asarray(res.red_coords)
+    else:
+        def solve():
+            res = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
+                             cfg.num_steps, mu1, mu2, **ls_kw)
+            return np.asarray(res.red_coords)
 
     # timed to the materialized reduced coords; full reconstruction
     # stays outside (warm protocol, VERDICT r2 #3). ecsw_hprom is a
@@ -139,6 +153,14 @@ if __name__ == "__main__":
                    choices=["nnls", "scipy_nnls", "ecm", "multilevel",
                             "sequential"])
     p.add_argument("--bc-w", type=float, default=50.0)
+    p.add_argument("--engine", default="generic",
+                   choices=["generic", "tensor"],
+                   help="tensor: quadratic-form reduced-space stepper "
+                        "(rom_tensor.py) — fastest single-run path")
+    p.add_argument("--gn-unroll", type=int, default=0,
+                   help="tensor engine: fixed unrolled GN iterations "
+                        "(0 keeps the dynamic while_loop)")
     a = p.parse_args()
     main(a.mu1, a.mu2, a.num_modes, a.compute_ecsw, a.weights_method,
-         a.bc_w, a.num_cells, a.num_steps, a.f32)
+         a.bc_w, a.num_cells, a.num_steps, a.f32, engine=a.engine,
+         gn_unroll=a.gn_unroll)

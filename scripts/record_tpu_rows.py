@@ -1,0 +1,278 @@
+"""One-process TPU recording campaign (VERDICT r2 #1/#3/#5).
+
+Records model x {3 canonical test points} rows into rom_results*.npz
+with WARM timings, sharing one compiled program per model: every online
+stepper here takes (mu1, mu2) as runtime arguments, so the 3 points cost
+one multi-minute remote compile instead of three. Skip-if-done per key;
+crash-tolerant (per-model try/except) — rerun after an axon outage and
+it continues where it stopped.
+
+Usage:
+  python scripts/record_tpu_rows.py --models hprom hrnm ...
+  python scripts/record_tpu_rows.py --num-cells 750 --out rom_results_fine.npz \
+      --models fom prom hprom
+
+Role of the reference's run_tests.py / run_tests_HPROM.py recorders.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, os.path.join(ROOT, "runners"))
+sys.path.insert(0, ROOT)
+
+os.environ["FDTPU_WARM"] = "1"
+
+TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
+
+
+def record(out, key, elapsed, err):
+    results = dict(np.load(out, allow_pickle=True)) \
+        if os.path.exists(out) else {}
+    results[key] = np.array([elapsed, err])
+    np.savez(out, **results)
+    print(f"[record] {out}: {key} = [{elapsed:.4g} s, {err}%]", flush=True)
+
+
+def have(out, prefix):
+    if not os.path.exists(out):
+        return False
+    results = dict(np.load(out, allow_pickle=True))
+    return all(f"{prefix}_{m1}_{m2}" in results
+               and np.all(np.isfinite(results[f"{prefix}_{m1}_{m2}"]))
+               for m1, m2 in TEST_POINTS)
+
+
+def linear_family(cfg, grid, w0, out, model, f32):
+    """hprom / hprom_ecm / hprom_multilevel / hprom_sequential — and
+    prom / fom — all share compiled programs across points."""
+    import jax.numpy as jnp
+
+    from common import default_ls, get_or_build_basis
+    from finitedifference_tpu.snapshots import load_or_compute_snaps
+
+    dtype = jnp.float32 if f32 else jnp.float64
+    ls_kw = default_ls(f32)
+
+    if model == "fom":
+        from finitedifference_tpu.fom import (
+            inviscid_burgers_implicit2d_skewed,
+        )
+        for mu in TEST_POINTS:
+            def solve():
+                r = inviscid_burgers_implicit2d_skewed(
+                    grid, jnp.asarray(w0, dtype), float(cfg.dt),
+                    cfg.num_steps, mu[0], mu[1])
+                float(jnp.sum(r.snaps))
+                return r
+            solve()
+            t0 = time.time()
+            solve()
+            record(out, f"fom_{mu[0]}_{mu[1]}", time.time() - t0, 0.0)
+        return
+
+    basis = get_or_build_basis(cfg, grid, w0, 95)
+
+    if model == "prom":
+        from finitedifference_tpu.rom import lspg_prom, reconstruct
+        w0_d = jnp.asarray(w0, dtype)
+        basis_d = jnp.asarray(basis, dtype)
+        for mu in TEST_POINTS:
+            def solve():
+                r = lspg_prom(grid, w0_d, cfg.dt, cfg.num_steps,
+                              mu[0], mu[1], basis_d, **ls_kw)
+                return np.asarray(r.red_coords), r.total_gn_its
+            solve()
+            t0 = time.time()
+            red, its = solve()
+            elapsed = time.time() - t0
+            print(f"GN its: {int(its)}")
+            rom = np.asarray(reconstruct(basis_d, jnp.asarray(red)))
+            hdm = load_or_compute_snaps(list(mu), grid, w0, cfg.dt,
+                                        cfg.num_steps,
+                                        snap_folder=cfg.snap_folder)
+            rel = 100 * np.linalg.norm(hdm - rom) / np.linalg.norm(hdm)
+            record(out, f"prom_{mu[0]}_{mu[1]}", elapsed, round(rel, 4))
+        return
+
+    # hyper-reduced linear family
+    from run_hprom import build_hprom_weights, hprom_weights_path
+
+    from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
+
+    method = model.replace("hprom", "").strip("_") or "nnls"
+    wp = hprom_weights_path(cfg, method)
+    if os.path.exists(wp):
+        weights = np.load(wp)
+    else:
+        weights = build_hprom_weights(cfg, grid, basis, method, 50.0,
+                                      verbose=True)
+        np.save(wp, weights)
+    print(f"{model}: N_e = {int((weights > 0).sum())} ({wp})")
+    mesh, sw, ba = prepare_hprom(grid, weights, basis)
+    y0 = jnp.asarray(basis.T @ w0, dtype)
+    sw_d, ba_d = sw.astype(dtype), jnp.asarray(ba, dtype)
+    for mu in TEST_POINTS:
+        def solve():
+            r = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
+                           cfg.num_steps, mu[0], mu[1], **ls_kw)
+            return np.asarray(r.red_coords)
+        solve()
+        t0 = time.time()
+        red = solve()
+        elapsed = time.time() - t0
+        rom = basis @ red
+        hdm = load_or_compute_snaps(list(mu), grid, w0, cfg.dt,
+                                    cfg.num_steps,
+                                    snap_folder=cfg.snap_folder)
+        rel = 100 * np.linalg.norm(hdm - rom) / np.linalg.norm(hdm)
+        record(out, f"{model}_{mu[0]}_{mu[1]}", elapsed, round(rel, 4))
+
+
+def closure_family(cfg, grid, w0, out, model, f32):
+    """Manifold-closure models over one shared run_manifold stepper."""
+    from common import closure_ecsw_weights, res_path, run_manifold, \
+        split_training
+
+    kwargs = {}
+    weights = None
+    if model in ("hrnm", "hrnm_ecm"):
+        from run_rnm import get_rnm_closure
+        method = "ecm" if model.endswith("ecm") else "nnls"
+        u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, 10, 140)
+        weights = closure_ecsw_weights(
+            cfg, grid, w0, u_p, u_s, closure,
+            weights_path=res_path(cfg, f"ecsw_weights_rnm_{method}.npy"),
+            method=method, bc_w=10.0)
+        label, prefix = "HRNM", model
+    elif model in ("pod_rbf_hprom", "pod_rbf_hprom_knn"):
+        from run_pod_rbf_global import get_global_rbf, training_warm_q1
+        if model.endswith("knn"):
+            from finitedifference_tpu.closures.rbf import (
+                fit_knn_rbf,
+                knn_rbf_closure,
+            )
+            u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10,
+                                                140)
+            m = fit_knn_rbf(q_p, q_s, 0.01, min(100, q_p.shape[0]))
+            closure = knn_rbf_closure(m)
+            variant = "knn"
+        else:
+            u_p, u_s, closure = get_global_rbf(cfg, grid, w0, 10, 140)
+            variant = "global"
+        weights = closure_ecsw_weights(
+            cfg, grid, w0, u_p, u_s, closure,
+            weights_path=res_path(
+                cfg, f"ecsw_weights_rbf_{variant}_nnls.npy"),
+            method="nnls", bc_w=10.0)
+        label, prefix = f"POD-RBF-HPROM-{variant}", model
+        if model == "pod_rbf_hprom":
+            prefix = "pod_rbf_hprom"
+    elif model == "pod_gp_hprom":
+        import run_pod_gp_hprom
+        from finitedifference_tpu.closures.gp import gp_closure
+        from finitedifference_tpu.training.gp_train import load_gp
+        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+        gp = load_gp(res_path(cfg, run_pod_gp_hprom.MODEL_PATH))
+        closure = gp_closure(gp)
+        weights = closure_ecsw_weights(
+            cfg, grid, w0, u_p, u_s, closure,
+            weights_path=res_path(cfg, "ecsw_weights_gp_nnls.npy"),
+            method="nnls", bc_w=10.0)
+        label, prefix = "POD-GP-HPROM", model
+    elif model == "rnm":
+        from run_rnm import get_rnm_closure
+        u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, 10, 140)
+        label, prefix = "RNM", "rnm"
+    elif model == "pod_rbf_global":
+        from run_pod_rbf_global import get_global_rbf, training_warm_q1
+        u_p, u_s, closure = get_global_rbf(cfg, grid, w0, 10, 140)
+        kwargs["warm_q1"] = training_warm_q1(cfg, grid, w0, u_p)
+        label, prefix = "POD-RBF-global", "pod_rbf_global"
+    elif model in ("pod_rbf", "pod_rbf_searched"):
+        from finitedifference_tpu.closures.rbf import (
+            fit_knn_rbf,
+            knn_rbf_closure,
+        )
+        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+        if model == "pod_rbf_searched":
+            from finitedifference_tpu.training.rbf_train import (
+                train_knn_rbf_search,
+            )
+            m, log = train_knn_rbf_search(q_p, q_s, seed=cfg.seed)
+            print(f"knn search best: {log['best']}")
+        else:
+            m = fit_knn_rbf(q_p, q_s, 0.01, min(100, q_p.shape[0]))
+        closure = knn_rbf_closure(m)
+        label, prefix = "POD-RBF", model
+    else:
+        raise ValueError(model)
+
+    if weights is not None:
+        print(f"{model}: N_e = {int((weights > 0).sum())}")
+    rows = run_manifold(cfg, grid, w0, u_p, u_s, closure, f32=f32,
+                        weights_full=weights, label=label,
+                        save_prefix=prefix, points=TEST_POINTS, **kwargs)
+    for (elapsed, rel), mu in zip(rows, TEST_POINTS):
+        record(out, f"{prefix}_{mu[0]}_{mu[1]}", elapsed, rel)
+
+
+LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_multilevel",
+          "hprom_sequential"}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--models", nargs="+",
+                   default=["hprom", "hrnm", "pod_rbf_hprom",
+                            "pod_rbf_hprom_knn", "pod_gp_hprom",
+                            "hprom_ecm", "hrnm_ecm"])
+    p.add_argument("--out", default=None,
+                   help="npz to write (default: rom_results_hprom.npz "
+                        "for hyper-reduced models, rom_results.npz "
+                        "otherwise)")
+    p.add_argument("--num-cells", type=int, default=None)
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--redo", action="store_true")
+    p.add_argument("--platform", default=None)
+    a = p.parse_args()
+    if a.platform:
+        os.environ["FDTPU_PLATFORM"] = a.platform
+
+    from common import default_config, make_problem, setup_jax
+    setup_jax(a.f32)
+    cfg = default_config(a.num_cells, a.num_steps)
+    grid, w0 = make_problem(cfg)
+
+    for model in a.models:
+        hyper = "hprom" in model or model.startswith("hrnm")
+        out = a.out or ("rom_results_hprom.npz" if hyper
+                        else "rom_results.npz")
+        if not a.redo and have(out, model):
+            print(f"=== {model}: all points recorded, skipping ===")
+            continue
+        print(f"=== {model} -> {out} ===", flush=True)
+        t0 = time.time()
+        try:
+            if model in LINEAR:
+                linear_family(cfg, grid, w0, out, model, a.f32)
+            else:
+                closure_family(cfg, grid, w0, out, model, a.f32)
+        except Exception as e:  # noqa: BLE001 — keep recording others
+            import traceback
+            print(f"!!! {model} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}")
+            traceback.print_exc()
+        print(f"=== {model} done in {time.time() - t0:.0f}s ===",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
