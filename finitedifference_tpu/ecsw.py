@@ -168,6 +168,90 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
     return x, float(resid @ resid), resid
 
 
+def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
+              max_support: Optional[int] = None,
+              rel_err_thresh: float = 0.0,
+              verbose: bool = False) -> Tuple[np.ndarray, float, np.ndarray]:
+    """Lawson-Hanson NNLS with an incrementally-updated Gram inverse.
+
+    Same active-set algorithm and stopping rules as `nnls` (including the
+    reference's `rel_err_thresh` / `max_support` early stops,
+    lsqnonneg.py:100-105), but the passive-set least-squares solve comes
+    from a rank-one-updated (A^T A)^{-1} (`_GramInverse`) instead of a
+    fresh O(m s^2) lstsq per step. Per-iteration cost: O(m n) scoring +
+    O(m s) new Gram column + O(s^2) inverse update — supports of
+    thousands become tractable on one host core (this environment's
+    fine-grid level-2 solves; a fresh-lstsq LH at support ~2,000 costs
+    ~1e13 flops, hours on one core). The Gram squaring spends ~half the
+    f64 significand, so weights agree with `nnls` to ~1e-6 relative
+    rather than bitwise (tests/test_ecsw.py::test_gram_matches_lstsq).
+    """
+    C = np.ascontiguousarray(C, dtype=np.float64)
+    d = np.asarray(d, dtype=np.float64)
+    m, n = C.shape
+    if tol is None:
+        tol = 10 * 2.22e-16 * np.abs(C).sum(axis=0).max() * (max(m, n) + 1)
+
+    gram = _GramInverse(C, d)
+    x = np.zeros(n)
+    passive = np.zeros(n, dtype=bool)
+    blocked = np.zeros(n, dtype=bool)   # columns rejected as dependent
+    resid = d.copy()
+    w = C.T @ resid
+    it = 0
+    itmax = itmax_factor * n
+    norm_d = np.linalg.norm(d)
+
+    def z_full():
+        z = np.zeros(n)
+        if gram.cols:
+            z[gram.cols] = gram.weights()
+        return z
+
+    while True:
+        cand = ~passive & ~blocked
+        if not cand.any() or not (w[cand] > tol).any():
+            break
+        inactive = np.where(cand)[0]
+        t = inactive[np.argmax(w[inactive])]
+        if not gram.try_add(t):
+            blocked[t] = True   # dependent on the current passive set
+            continue
+        passive[t] = True
+        z = z_full()
+
+        while (z[passive] <= tol).any():
+            it += 1
+            if it > itmax:
+                raise RuntimeError(
+                    f"NNLS iteration limit exceeded ({it} > {itmax})")
+            qq = passive & (z <= tol)
+            alpha = np.min(x[qq] / (x[qq] - z[qq]))
+            x = x + alpha * (z - x)
+            drop = passive & (np.abs(x) < tol)
+            for j in np.where(drop)[0]:
+                gram.remove(gram.cols.index(int(j)))
+            passive &= ~drop
+            blocked[:] = False   # removals can free dependent columns
+            z = z_full()
+
+        x = z
+        cols = np.asarray(gram.cols, dtype=np.int64)
+        resid = d - C[:, cols] @ x[cols]
+        w = C.T @ resid
+
+        rel_err = np.linalg.norm(resid) / norm_d if norm_d > 0 else 0.0
+        num_pos = int((x > 0).sum())
+        if verbose:
+            print(f"  nnls_gram: support={num_pos}, rel_err={rel_err:.4f}")
+        if rel_err_thresh and rel_err < rel_err_thresh:
+            break
+        if max_support is not None and num_pos >= max_support:
+            break
+
+    return x, float(resid @ resid), resid
+
+
 # --------------------------------------------------------------------------
 # NNLS — FISTA projected gradient (device, jitted, vmappable)
 # --------------------------------------------------------------------------
@@ -420,6 +504,14 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
     Ci = C[:, flat_interior]
 
     if method == "nnls":
+        # Lawson-Hanson via the Gram-updated solver: same active-set
+        # algorithm and early stops as `nnls`, tractable supports on one
+        # host core (weights agree to ~1e-6 relative; method=nnls_lstsq
+        # keeps the fresh-lstsq variant for cross-checks)
+        w_int, _, _ = nnls_gram(Ci, Ci.sum(axis=1),
+                                rel_err_thresh=rel_err_thresh,
+                                max_support=max_support, verbose=verbose)
+    elif method == "nnls_lstsq":
         w_int, _, _ = nnls(Ci, Ci.sum(axis=1),
                            rel_err_thresh=rel_err_thresh,
                            max_support=max_support, verbose=verbose)
@@ -463,7 +555,8 @@ def sequential_nnls_weights(C, grid: Grid2D, batch_size: int = 5000,
     w_int = np.zeros(Ci.shape[1])
     for start in range(0, Ci.shape[1], batch_size):
         blk = slice(start, min(start + batch_size, Ci.shape[1]))
-        wb, _, _ = nnls(Ci[:, blk], resid, rel_err_thresh=rel_err_thresh)
+        wb, _, _ = nnls_gram(Ci[:, blk], resid,
+                             rel_err_thresh=rel_err_thresh)
         w_int[blk] = wb
         resid = d_full - Ci @ w_int
         if verbose:
@@ -473,8 +566,8 @@ def sequential_nnls_weights(C, grid: Grid2D, batch_size: int = 5000,
 
     support = np.where(w_int > 0)[0]
     if support.size:
-        w2, _, _ = nnls(Ci[:, support], d_full,
-                        rel_err_thresh=rel_err_thresh)
+        w2, _, _ = nnls_gram(Ci[:, support], d_full,
+                             rel_err_thresh=rel_err_thresh)
         w_int[:] = 0.0
         w_int[support] = w2
 
@@ -566,11 +659,130 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
     if verbose:
         print(f"  level-1 union support: {support.size}")
 
-    w2, _, _ = nnls(Ci[:, support], Ci.sum(axis=1),
-                    rel_err_thresh=rel_err_thresh)
+    w2, _, _ = nnls_gram(Ci[:, support], Ci.sum(axis=1),
+                         rel_err_thresh=rel_err_thresh)
     w_int = np.zeros(Ci.shape[1])
     w_int[support] = w2
 
     full = np.full(ny * nx, float(bc_w))
     full[interior.ravel()] = w_int
+    return full
+
+
+# --------------------------------------------------------------------------
+# fine-grid (device-resident) weight recipe
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("grid",), donate_argnums=(0,))
+def _c_accumulate(C, snaps_chunk, prev_chunk, basis, mu1, mu2, dt, row0,
+                  grid: Grid2D):
+    """Write one snapshot-chunk's training rows into the device buffer."""
+    blk = ecsw_training_matrix(grid, snaps_chunk, prev_chunk, basis,
+                               mu1, mu2, dt).astype(C.dtype)
+    return jax.lax.dynamic_update_slice(
+        C, blk, (row0, jnp.zeros_like(row0)))
+
+
+def ecsw_training_matrix_device(grid: Grid2D, snaps, prev_snaps, basis,
+                                mu1, mu2, dt, chunk: int = 2,
+                                dtype=jnp.float32):
+    """Device-resident (S*k, n_cells) ECSW training matrix, built `chunk`
+    snapshots at a time.
+
+    The one-shot `ecsw_training_matrix` vmaps over ALL snapshots — at
+    750^2 each snapshot's (2n, k) Jacobian product is ~0.4 GB, so 50
+    snapshots at once is ~20 GB of temporaries. Chunking bounds the
+    working set to C (S*k*n*4 bytes — 10.7 GB for the canonical fine
+    recipe) + ~2 chunk temporaries; the buffer is donated through the
+    update, so accumulation is in-place. This is the step where the
+    reference's fine workbench OOMs a 24-core node
+    (BurgersFD_CleanFine/slurm-55470585.out:1-2).
+    """
+    snaps = jnp.asarray(snaps)
+    prev_snaps = jnp.asarray(prev_snaps)
+    basis = jnp.asarray(basis)
+    s_total = snaps.shape[1]
+    k = basis.shape[1]
+    if s_total % chunk:
+        raise ValueError(f"snapshot count {s_total} must divide by "
+                         f"chunk {chunk} (pad/stride the training set)")
+    C = jnp.zeros((s_total * k, grid.n_cells), dtype)
+    for s in range(0, s_total, chunk):
+        C = _c_accumulate(C, snaps[:, s:s + chunk],
+                          prev_snaps[:, s:s + chunk], basis,
+                          mu1, mu2, dt, jnp.int32(s * k), grid)
+    return C
+
+
+def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
+                                   num_subdomains: int = 12,
+                                   bc_w: float = 50.0,
+                                   rel_err_thresh: float = 1e-4,
+                                   fista_iters: int = 2000,
+                                   support_cap_per_block: int = 400,
+                                   ring: str = "inflow",
+                                   verbose: bool = False) -> np.ndarray:
+    """Fine-grid multilevel NNLS with C resident on the DEVICE end to end.
+
+    Same two-level recipe as `multilevel_nnls_weights` (reference
+    run_HPROM_ecsw_multilevel.py:89-140), restructured for grids where C
+    cannot visit the host (10.7 GB at 750^2, against a ~24 MB/s
+    device->host tunnel): level-1 support screening runs as one jitted
+    FISTA program per column block ON the device (the TPU-native
+    analogue of the reference's joblib fan-out); only the union-support
+    columns (m x |U|, tens of MB) ever cross to the host, where
+    `nnls_gram` finishes with an EXACT Lawson-Hanson solve. Non-candidate
+    columns (the `ring` mask) are zeroed instead of gathered — a zero
+    column has zero gradient, so FISTA/NNLS never select it and the
+    column blocks stay contiguous slices.
+    """
+    C_dev = jnp.asarray(C_dev)
+    m, ncols = C_dev.shape
+    ny, nx = grid.ny, grid.nx
+    assert ncols == ny * nx
+    cand = interior_mask(grid, ring).ravel()
+    cand_dev = jnp.asarray(cand, C_dev.dtype)
+
+    d_full = jnp.matmul(C_dev, cand_dev,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    blk = -(-ncols // num_subdomains)
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def screen_block(c_blk, mask_blk, n_iters):
+        c_blk = c_blk * mask_blk[None, :]
+        d_blk = jnp.matmul(c_blk, jnp.ones(c_blk.shape[1], c_blk.dtype),
+                           precision=jax.lax.Precision.HIGHEST)
+        return nnls_fista(c_blk, d_blk, num_iters=n_iters)
+
+    support: list = []
+    for b in range(num_subdomains):
+        lo, hi = b * blk, min((b + 1) * blk, ncols)
+        x, rel = screen_block(C_dev[:, lo:hi], cand_dev[lo:hi],
+                              fista_iters)
+        x = np.asarray(x)
+        pos = np.flatnonzero(x > 1e-8 * max(float(x.max()), 1e-30))
+        if pos.size > support_cap_per_block:
+            pos = pos[np.argsort(x[pos])[::-1][:support_cap_per_block]]
+        support.extend(int(p) for p in lo + pos)
+        if verbose:
+            print(f"  fista block {b}: rel {float(rel):.3e}, "
+                  f"kept {pos.size}, union {len(support)}", flush=True)
+
+    support = np.asarray(sorted(set(support)), dtype=np.int64)
+    if support.size == 0:
+        raise ValueError("device multilevel NNLS: empty level-1 support")
+
+    # only the screened columns and the target cross the tunnel
+    Cs = np.asarray(jnp.take(C_dev, jnp.asarray(support), axis=1),
+                    dtype=np.float64)
+    d_h = np.asarray(d_full, dtype=np.float64)
+    if verbose:
+        print(f"  level-2 host solve: {Cs.shape}", flush=True)
+    w2, _, resid = nnls_gram(Cs, d_h, rel_err_thresh=rel_err_thresh,
+                             verbose=verbose)
+
+    full = np.full(ny * nx, float(bc_w))
+    full[cand] = 0.0
+    full[support] = w2
     return full

@@ -157,6 +157,37 @@ class TestNNLS:
         x, _, resid = nnls(C, d, rel_err_thresh=0.05)
         assert np.linalg.norm(resid) / np.linalg.norm(d) < 0.05
 
+    def test_gram_matches_lstsq(self):
+        from finitedifference_tpu.ecsw import nnls_gram
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            C = rng.normal(size=(40, 60))
+            d = C @ (np.abs(rng.normal(size=60))
+                     * (rng.random(60) < 0.3))
+            x1, _, _ = nnls(C, d)
+            x2, _, _ = nnls_gram(C, d)
+            np.testing.assert_allclose(
+                x2, x1, atol=1e-8 * max(1.0, np.abs(x1).max()))
+
+    def test_gram_early_stops(self):
+        from finitedifference_tpu.ecsw import nnls_gram
+        rng = np.random.default_rng(8)
+        C = rng.uniform(size=(50, 80))
+        d = C @ rng.uniform(size=80)
+        x, _, resid = nnls_gram(C, d, rel_err_thresh=0.05)
+        assert np.linalg.norm(resid) / np.linalg.norm(d) < 0.05
+        x, _, _ = nnls_gram(C, d, max_support=5)
+        assert 0 < (x > 0).sum() <= 6
+
+    def test_gram_matlab_case_1(self):
+        from finitedifference_tpu.ecsw import nnls_gram
+        C = np.array([[0.0372, 0.2869], [0.6861, 0.7071],
+                      [0.6233, 0.6245], [0.6344, 0.6170]])
+        d = np.array([0.8587, 0.1781, 0.0747, 0.8405])
+        x, resnorm, _ = nnls_gram(C, d)
+        assert abs(resnorm - 0.8315) < 1e-3
+        assert np.all(x >= 0)
+
     def test_fista_matches_on_easy_problem(self):
         rng = np.random.default_rng(3)
         C = rng.normal(size=(40, 10)) + 2
@@ -358,6 +389,45 @@ class TestHPROMParity:
         weights = multilevel_nnls_weights(C, grid, num_subdomains=4,
                                           bc_w=5.0, level1="fista",
                                           fista_iters=2000)
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, 20,
+                           MU[0], MU[1])
+        rom_snaps = basis @ np.asarray(hprom.red_coords)
+        hdm = oracle.implicit_trajectory(w0, MU, DT, 20, ops, xc)
+        assert relative_error_pct(rom_snaps, hdm) < 2.0
+
+    def test_device_training_matrix_matches_oneshot(self):
+        from finitedifference_tpu.ecsw import ecsw_training_matrix_device
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=10, k=6)
+        s, p = s1[:, 3::2], s1[:, 0:-3:2]
+        c1 = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s), jnp.asarray(p), jnp.asarray(basis),
+            4.25, 0.0225, DT))
+        c2 = np.asarray(ecsw_training_matrix_device(
+            grid, s, p, basis, 4.25, 0.0225, DT, chunk=2,
+            dtype=jnp.float64))
+        np.testing.assert_allclose(c2, c1, rtol=1e-12)
+
+    def test_device_multilevel_hprom_parity(self):
+        """The fully device-resident fine-grid recipe (device C, device
+        FISTA screening, host Gram-LH level 2) must drive the HPROM as
+        well as the host multilevel path."""
+        from finitedifference_tpu.ecsw import (
+            ecsw_training_matrix_device,
+            multilevel_nnls_weights_device,
+        )
+        from finitedifference_tpu.snapshots import relative_error_pct
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=20, k=6)
+        c_dev = ecsw_training_matrix_device(
+            grid, s1[:, 3::2], s1[:, 0:-3:2], basis, 4.25, 0.0225, DT,
+            chunk=3, dtype=jnp.float64)
+        weights = multilevel_nnls_weights_device(
+            c_dev, grid, num_subdomains=4, bc_w=5.0, ring="full",
+            fista_iters=2000)
+        assert np.all(weights >= 0)
         mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
         y0 = jnp.asarray(basis.T @ w0)
         hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, 20,
