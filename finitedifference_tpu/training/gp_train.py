@@ -13,8 +13,12 @@ from finitedifference_tpu.training.rbf_train import remove_duplicates
 
 
 def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
-             dedup: bool = True, ard: bool = False,
+             dedup: bool = True, ard: bool = True,
              on_host: bool = True, verbose: bool = False) -> GPModel:
+    """ard=True (default) learns per-dimension length scales — the
+    shipped 250^2 model is ARD, and ARD closed the GP-HPROM from 8.6%
+    to 2.4% at (5.19, 0.026) in round 2; isotropic remains reachable
+    for the reference's exact sklearn recipe (POD-GP/train_gp.py:67-74)."""
     if on_host:
         from finitedifference_tpu.closures.common import run_on_host_cpu
         return run_on_host_cpu(
