@@ -519,8 +519,15 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
         import scipy.optimize
         w_int, _ = scipy.optimize.nnls(Ci, Ci.sum(axis=1))
     elif method == "ecm":
+        from finitedifference_tpu.closures.common import run_on_host_cpu
         from finitedifference_tpu.pod import randomized_svd_adaptive
-        u, s, vh = randomized_svd_adaptive(jnp.asarray(Ci.T), tol=1e-8)
+        # offline small-dense fit: the adaptive rSVD probe loop compiles
+        # one program per trial rank — on the remote-compile axon
+        # backend that is minutes of compiles (and an observed
+        # compile-helper 500); the host CPU backend runs it in seconds
+        u, s, vh = run_on_host_cpu(
+            lambda a: randomized_svd_adaptive(jnp.asarray(a), tol=1e-8),
+            Ci.T)
         z, alpha = empirical_cubature(np.asarray(u),
                                       tolerance=ecm_tolerance,
                                       verbose=verbose)
