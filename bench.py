@@ -341,6 +341,23 @@ def rom_metrics(dt, steps=500):
         round(steps / el, 1)
     _stderr(f"bench: tensor HPROM unroll3: {el:.3f}s / {steps} steps")
 
+    # ECM mesh (when built): far sparser support than NNLS, so the
+    # tensor engine's HBM floor — streaming H=(2*N_e, k, k) once per GN
+    # iteration — drops proportionally. This is the single-run
+    # latency-race configuration (VERDICT r2 #4).
+    if os.path.exists("ecsw_weights_lspg_ecm.npy"):
+        w_ecm = np.load("ecsw_weights_lspg_ecm.npy")
+        mesh_e, sw_e, ba_e = prepare_hprom(grid, w_ecm, np.asarray(basis))
+        sw_e32, ba_e32 = sw_e.astype(f32), jnp.asarray(ba_e, f32)
+        tens_e = precompute_hprom_tensors(grid, mesh_e, sw_e32, ba_e32, dt)
+        el = timed(lambda: float(jnp.sum(tensor_hprom(
+            grid, mesh_e, sw_e32, y0, tens_e, dt, steps, 4.75, 0.02,
+            ls_method="normal").red_coords)))
+        out["hprom_tensor_ecm_250_f32_timesteps_per_sec"] = \
+            round(steps / el, 1)
+        _stderr(f"bench: tensor HPROM (ECM mesh, N_e={mesh_e.n_sample}): "
+                f"{el:.3f}s / {steps} steps")
+
     mus = jnp.asarray(np.array(
         [[m1, m2] for m1 in (4.4, 4.9, 5.4) for m2 in (.016, .022, .028)]),
         f32)

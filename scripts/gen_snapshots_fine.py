@@ -29,7 +29,8 @@ cfg = DEFAULT_CONFIG.with_cells(750)
 grid = grid_from_config(cfg)
 w0 = np.ones(grid.state_dim)
 
-points = list(cfg.mu_samples()) + [[4.75, 0.02]]
+points = list(cfg.mu_samples()) + [[4.75, 0.02], [5.19, 0.026],
+                                   [4.56, 0.019]]
 for mu in points:
     s = load_or_compute_snaps(mu, grid, w0, cfg.dt, cfg.num_steps,
                               snap_folder=cfg.snap_folder,

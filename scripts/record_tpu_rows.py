@@ -106,7 +106,14 @@ def linear_family(cfg, grid, w0, out, model, f32):
 
     from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
 
-    method = model.replace("hprom", "").strip("_") or "nnls"
+    if model == "hprom_tensor":
+        # latency-race engine (VERDICT r2 #4): same NNLS mesh, online
+        # loop as dense reduced-space contractions, f32 (the engine's
+        # race configuration; trajectory parity vs the generic engine is
+        # tested in tests/test_rom.py)
+        method = "nnls"
+    else:
+        method = model.replace("hprom", "").strip("_") or "nnls"
     wp = hprom_weights_path(cfg, method)
     if os.path.exists(wp):
         weights = np.load(wp)
@@ -116,13 +123,28 @@ def linear_family(cfg, grid, w0, out, model, f32):
         np.save(wp, weights)
     print(f"{model}: N_e = {int((weights > 0).sum())} ({wp})")
     mesh, sw, ba = prepare_hprom(grid, weights, basis)
+    if model == "hprom_tensor":
+        dtype = jnp.float32
     y0 = jnp.asarray(basis.T @ w0, dtype)
     sw_d, ba_d = sw.astype(dtype), jnp.asarray(ba, dtype)
+    if model == "hprom_tensor":
+        from finitedifference_tpu.rom_tensor import (
+            precompute_hprom_tensors,
+            tensor_hprom,
+        )
+        tens = precompute_hprom_tensors(grid, mesh, sw_d, ba_d, cfg.dt)
     for mu in TEST_POINTS:
-        def solve():
-            r = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
-                           cfg.num_steps, mu[0], mu[1], **ls_kw)
-            return np.asarray(r.red_coords)
+        if model == "hprom_tensor":
+            def solve():
+                r = tensor_hprom(grid, mesh, sw_d, y0, tens, cfg.dt,
+                                 cfg.num_steps, mu[0], mu[1],
+                                 ls_method="normal")
+                return np.asarray(r.red_coords)
+        else:
+            def solve():
+                r = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
+                               cfg.num_steps, mu[0], mu[1], **ls_kw)
+                return np.asarray(r.red_coords)
         solve()
         t0 = time.time()
         red = solve()
@@ -224,7 +246,7 @@ def closure_family(cfg, grid, w0, out, model, f32):
 
 
 LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_multilevel",
-          "hprom_sequential"}
+          "hprom_sequential", "hprom_tensor"}
 
 
 def main():
