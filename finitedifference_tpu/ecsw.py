@@ -780,9 +780,18 @@ def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
     if support.size == 0:
         raise ValueError("device multilevel NNLS: empty level-1 support")
 
-    # only the screened columns and the target cross the tunnel
-    Cs = np.asarray(jnp.take(C_dev, jnp.asarray(support), axis=1),
-                    dtype=np.float64)
+    # only the screened columns and the target cross the tunnel; the
+    # gather runs in fixed-size chunks — one small compiled program
+    # reused per chunk — because a single whole-support take against the
+    # 10.7 GB buffer has been observed to kill the remote compile helper
+    chunk = 512
+    pad = (-len(support)) % chunk
+    idx_pad = np.concatenate([support, np.zeros(pad, np.int64)])
+    take = jax.jit(lambda c, i: jnp.take(c, i, axis=1))
+    parts = [np.asarray(take(C_dev, jnp.asarray(idx_pad[s:s + chunk])))
+             for s in range(0, len(idx_pad), chunk)]
+    Cs = np.concatenate(parts, axis=1)[:, :len(support)].astype(
+        np.float64)
     d_h = np.asarray(d_full, dtype=np.float64)
     if verbose:
         print(f"  level-2 host solve: {Cs.shape}", flush=True)

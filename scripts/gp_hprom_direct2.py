@@ -64,7 +64,8 @@ def dense_alpha_model(ls, amp, noise, ss=1, scaler=None):
     if scaler is None:
         scaler = fit_minmax(np.asarray(xp))
     x = scaler.transform(jnp.asarray(xp))
-    k = matern32(x, x, ls, amp) + noise * jnp.eye(x.shape[0], x.dtype)
+    k = matern32(x, x, ls, amp) \
+        + noise * jnp.eye(x.shape[0], dtype=x.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), jnp.asarray(xs))
     return GPModel(x_train=x, alpha=alpha, length_scale=ls,
@@ -73,7 +74,7 @@ def dense_alpha_model(ls, amp, noise, ss=1, scaler=None):
 
 m0 = load_gp("/root/repo/pod_gp_model.npz")
 
-for ss, noise in ((1, 1e-8), (1, 1e-6), (2, 1e-8)):
+for ss, noise in ((1, 1e-6), (2, 1e-6), (1, 1e-8)):
     t0 = time.time()
     m = dense_alpha_model(m0.length_scale, m0.amplitude, noise, ss=ss)
     print(f"[dense ss{ss} n{noise:g}] alpha ({m.x_train.shape[0]} pts) "
