@@ -780,15 +780,23 @@ def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
     if support.size == 0:
         raise ValueError("device multilevel NNLS: empty level-1 support")
 
-    # only the screened columns and the target cross the tunnel; the
-    # gather runs in fixed-size chunks — one small compiled program
-    # reused per chunk — because a single whole-support take against the
-    # 10.7 GB buffer has been observed to kill the remote compile helper
+    # only the screened columns and the target cross the tunnel. XLA's
+    # gather on the 10.7 GB buffer allocates a C-sized temp (observed
+    # 20.15G/15.75G HBM OOM at 750^2), so selection runs as chunked
+    # one-hot MATMULS instead: C @ S with S in {0,1} streams C through
+    # the MXU with no temp, and is exact at HIGHEST precision (every
+    # output element is a single x*1 product)
     chunk = 512
     pad = (-len(support)) % chunk
     idx_pad = np.concatenate([support, np.zeros(pad, np.int64)])
-    take = jax.jit(lambda c, i: jnp.take(c, i, axis=1))
-    parts = [np.asarray(take(C_dev, jnp.asarray(idx_pad[s:s + chunk])))
+
+    @jax.jit
+    def select(c, idx):
+        sel = (idx[None, :] == jnp.arange(c.shape[1])[:, None]) \
+            .astype(c.dtype)                       # (ncols, chunk)
+        return jnp.matmul(c, sel, precision=jax.lax.Precision.HIGHEST)
+
+    parts = [np.asarray(select(C_dev, jnp.asarray(idx_pad[s:s + chunk])))
              for s in range(0, len(idx_pad), chunk)]
     Cs = np.concatenate(parts, axis=1)[:, :len(support)].astype(
         np.float64)
