@@ -84,6 +84,11 @@ def plot_slices(num_cells, num_steps, out_prefix: str):
             continue
         hdm = np.load(hdm_file)
         rom = np.load(rom_file)
+        if rom.shape[0] != grid.state_dim:
+            # artifact from another resolution (e.g. the 50^2 AE rows
+            # next to 250^2 files) — it gets plotted when plot_results
+            # runs at ITS --num-cells, not this one
+            continue
         steps_to_plot = range(0, rom.shape[1], max(rom.shape[1] // 5, 1))
         fig, ax1, ax2 = plot_snaps(grid, hdm, steps_to_plot, label="HDM")
         plot_snaps(grid, rom, steps_to_plot, label=stem.split("_snaps")[0],
