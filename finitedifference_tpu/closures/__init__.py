@@ -16,6 +16,8 @@ from finitedifference_tpu.closures.common import (
     MinMaxScaler,
     fit_minmax,
     manifold_decoder,
+    manifold_decoder_fused,
 )
 
-__all__ = ["Closure", "MinMaxScaler", "fit_minmax", "manifold_decoder"]
+__all__ = ["Closure", "MinMaxScaler", "fit_minmax", "manifold_decoder",
+           "manifold_decoder_fused"]

@@ -69,9 +69,16 @@ class Closure(NamedTuple):
 
     predict:  (n_p,) -> (n_s,)
     jacobian: (n_p,) -> (n_s, n_p)
+    predict_and_jacobian: optional fused (n_p,) -> ((n_s,), (n_s, n_p)).
+        Kernel closures share expensive per-query work (neighbor search,
+        local kernel solves, kernel-distance evaluations) between the
+        value and the Jacobian; the Gauss-Newton body evaluates both at
+        the same y every iteration, so the fused form halves the closure
+        cost online. When None, callers fall back to the separate calls.
     """
     predict: Callable
     jacobian: Callable
+    predict_and_jacobian: Optional[Callable] = None
 
 
 def manifold_decoder(basis, basis2, closure: Optional[Closure],
@@ -105,3 +112,38 @@ def manifold_decoder(basis, basis2, closure: Optional[Closure],
         return basis + hi_matmul(basis2, closure.jacobian(y))
 
     return decode, dec_jac
+
+
+def manifold_decoder_fused(basis, basis2, closure: Optional[Closure],
+                           ref=None):
+    """Fused `decode_and_jac(y) -> (w, V)` companion to manifold_decoder.
+
+    Uses `closure.predict_and_jacobian` when the closure provides it
+    (one neighbor search / local kernel solve instead of two per
+    Gauss-Newton iteration); otherwise falls back to the separate calls,
+    which is still one decoder-basis matmul cheaper than calling
+    (decode, dec_jac) independently.
+    """
+    from finitedifference_tpu.precision import hi_matmul
+
+    basis = jnp.asarray(basis)
+    basis2 = jnp.asarray(basis2) if basis2 is not None else None
+    ref = jnp.asarray(ref) if ref is not None else None
+
+    def decode_and_jac(y):
+        if closure is None:
+            w = hi_matmul(basis, y)
+            if ref is not None:
+                w = w + ref
+            return w, basis
+        if closure.predict_and_jacobian is not None:
+            q_s, j_s = closure.predict_and_jacobian(y)
+        else:
+            q_s, j_s = closure.predict(y), closure.jacobian(y)
+        w = hi_matmul(basis, y) + hi_matmul(basis2, q_s)
+        if ref is not None:
+            w = w + ref
+        v = basis + hi_matmul(basis2, j_s)
+        return w, v
+
+    return decode_and_jac

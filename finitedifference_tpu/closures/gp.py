@@ -137,6 +137,22 @@ def gp_jacobian(model: GPModel, y):
     return jac_scaled * model.scaler.scale_[None, :]
 
 
+def gp_predict_and_jacobian(model: GPModel, y):
+    """Fused value + Jacobian sharing the scaled-difference / distance
+    evaluation against the training set (the Gauss-Newton body needs
+    both at the same y every iteration)."""
+    x = model.scaler.transform(y)
+    diff = x[None, :] - model.x_train            # (N, n_p)
+    r = jnp.linalg.norm(diff / model.length_scale, axis=1)
+    s = jnp.sqrt(3.0) * r
+    es = jnp.exp(-s)
+    pred = hi_matmul(model.amplitude * (1.0 + s) * es, model.alpha)
+    dk = (-3.0 * model.amplitude / model.length_scale**2) \
+        * es[:, None] * diff
+    jac = hi_matmul(model.alpha.T, dk) * model.scaler.scale_[None, :]
+    return pred, jac
+
+
 def gp_closure(model: GPModel) -> Closure:
     """Precision bridge (see closures/rbf.py::global_rbf_closure): the
     k-vector @ alpha contraction cancels heavily; it runs at the model
@@ -149,4 +165,9 @@ def gp_closure(model: GPModel) -> Closure:
     def jacobian(y):
         return gp_jacobian(model, y.astype(cd)).astype(y.dtype)
 
-    return Closure(predict=predict, jacobian=jacobian)
+    def both(y):
+        p, j = gp_predict_and_jacobian(model, y.astype(cd))
+        return p.astype(y.dtype), j.astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jacobian,
+                   predict_and_jacobian=both)

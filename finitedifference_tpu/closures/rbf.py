@@ -136,6 +136,19 @@ def rbf_global_jacobian(model: GlobalRBF, y):
     return jac_norm * model.scaler.scale_[None, :]
 
 
+def rbf_global_predict_and_jacobian(model: GlobalRBF, y):
+    """Fused value + Jacobian sharing the distance evaluation (the
+    Gauss-Newton body needs both at the same y every iteration)."""
+    phi, dr_over_r = _get_kernel(model.kernel)
+    x = model.scaler.transform(y)
+    diff = x[None, :] - model.q_p_train            # (n_train, n_p)
+    r = jnp.linalg.norm(diff, axis=1)
+    pred = hi_matmul(phi(r, model.epsilon), model.w_global)
+    dphi = dr_over_r(r, model.epsilon)[:, None] * diff
+    jac = hi_matmul(model.w_global.T, dphi) * model.scaler.scale_[None, :]
+    return pred, jac
+
+
 def global_rbf_closure(model: GlobalRBF) -> Closure:
     """Closure with a precision bridge: the kernel-weight contraction
     runs at the MODEL's dtype (f64 when trained/loaded under x64)
@@ -153,7 +166,12 @@ def global_rbf_closure(model: GlobalRBF) -> Closure:
     def jacobian(y):
         return rbf_global_jacobian(model, y.astype(cd)).astype(y.dtype)
 
-    return Closure(predict=predict, jacobian=jacobian)
+    def both(y):
+        p, j = rbf_global_predict_and_jacobian(model, y.astype(cd))
+        return p.astype(y.dtype), j.astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jacobian,
+                   predict_and_jacobian=both)
 
 
 def fit_global_rbf(q_p_train, q_s_train, epsilon, kernel: str = "gaussian",
@@ -204,17 +222,28 @@ def _knn_gather(model: KNNRBF, x):
     return model.q_p_train[idx], model.q_s_train[idx]
 
 
+# strictly positive-definite kernels (any point set): Cholesky-safe.
+# multiquadric/linear are only conditionally PD and keep the QR solve.
+_PD_KERNELS = frozenset({"gaussian", "imq", "matern"})
+
+
 def _knn_local_weights(model: KNNRBF, xk, yk):
     """Solve the local interpolation system Phi_k W = q_s_k.
 
-    QR-based solve: LU (jnp.linalg.solve) fails to compile in f64 on the
-    axon TPU backend, and QR handles the conditionally-PD kernels
-    (multiquadric/linear) that Cholesky cannot.
+    PD kernels solve by Cholesky (one k x k factorization, ~4x cheaper
+    than Householder QR and much cheaper under the TPU's emulated f64 —
+    this runs inside every online Gauss-Newton iteration). The
+    conditionally-PD kernels (multiquadric/linear) keep QR; LU
+    (jnp.linalg.solve) fails to compile in f64 on the axon TPU backend.
     """
-    from finitedifference_tpu.solvers import lstsq_qr
-
     phi = kernel_matrix(xk, xk, model.epsilon, model.kernel)
     phi = phi + 1e-8 * jnp.eye(phi.shape[0], dtype=phi.dtype)
+    if model.kernel in _PD_KERNELS:
+        from jax.scipy.linalg import cho_factor, cho_solve
+
+        return cho_solve(cho_factor(phi), yk)
+    from finitedifference_tpu.solvers import lstsq_qr
+
     return lstsq_qr(phi, yk)
 
 
@@ -244,6 +273,23 @@ def rbf_knn_jacobian(model: KNNRBF, y):
     return jac_norm * model.scaler.scale_[None, :]
 
 
+def rbf_knn_predict_and_jacobian(model: KNNRBF, y):
+    """Fused value + Jacobian sharing ONE neighbor search and ONE local
+    kernel solve (separately, rbf_knn_predict and rbf_knn_jacobian each
+    pay a top_k + k x k factorization — the dominant online cost of the
+    kNN closure, paid inside every Gauss-Newton iteration)."""
+    phi, dr_over_r = _get_kernel(model.kernel)
+    x = model.scaler.transform(y)
+    xk, yk = _knn_gather(model, x)
+    w_loc = _knn_local_weights(model, xk, yk)
+    diff = x[None, :] - xk
+    r = jnp.linalg.norm(diff, axis=1)
+    pred = hi_matmul(phi(r, model.epsilon), w_loc)
+    dpsi = dr_over_r(r, model.epsilon)[:, None] * diff
+    jac = hi_matmul(w_loc.T, dpsi) * model.scaler.scale_[None, :]
+    return pred, jac
+
+
 def knn_rbf_closure(model: KNNRBF) -> Closure:
     """Precision bridge as in global_rbf_closure: the local kernel solve
     + contraction run at the model dtype (f64 under x64)."""
@@ -255,7 +301,12 @@ def knn_rbf_closure(model: KNNRBF) -> Closure:
     def jacobian(y):
         return rbf_knn_jacobian(model, y.astype(cd)).astype(y.dtype)
 
-    return Closure(predict=predict, jacobian=jacobian)
+    def both(y):
+        p, j = rbf_knn_predict_and_jacobian(model, y.astype(cd))
+        return p.astype(y.dtype), j.astype(y.dtype)
+
+    return Closure(predict=predict, jacobian=jacobian,
+                   predict_and_jacobian=both)
 
 
 def fit_knn_rbf(q_p_train, q_s_train, epsilon, neighbors: int,

@@ -73,7 +73,7 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
         out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yp,
                            max_its=max_its, relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
-                           ls_method=ls_method)
+                           ls_method=ls_method, w0=wp)
         w = decode(out.y)
         return (out.y, w, its + out.num_its), out.y
 
@@ -138,7 +138,7 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
                            weights=wgt, max_its=max_its,
                            relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
-                           ls_method=ls_method)
+                           ls_method=ls_method, w0=wp)
         w = decode(out.y)
         return (out.y, w, its + out.num_its), out.y
 
@@ -155,7 +155,8 @@ def make_manifold_stepper(grid: Grid2D, decode, dec_jac, dt, num_steps,
                           relnorm_cutoff: float = 1e-5,
                           min_delta: float = 0.1, ls_dtype=None,
                           ls_method: str = "qr",
-                          line_search: bool = False):
+                          line_search: bool = False,
+                          decode_and_jac=None):
     """Build the jitted online program for `manifold_rom`.
 
     Returns a jitted `run(y0, mu1, mu2) -> (red_coords, total_gn_its)`.
@@ -203,7 +204,9 @@ def make_manifold_stepper(grid: Grid2D, decode, dec_jac, dt, num_steps,
                                relnorm_cutoff=relnorm_cutoff,
                                min_delta=min_delta, ls_dtype=ls_dtype,
                                ls_method=ls_method,
-                               line_search=line_search)
+                               line_search=line_search,
+                               decode_and_jac=decode_and_jac,
+                               w0=wp)
             w = decode(out.y)
             return (out.y, w, its + out.num_its), out.y
 
@@ -221,7 +224,8 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
                  max_its: int = 20, relnorm_cutoff: float = 1e-5,
                  min_delta: float = 0.1, ls_dtype=None,
                  ls_method: str = "qr",
-                 line_search: bool = False) -> ROMResult:
+                 line_search: bool = False,
+                 decode_and_jac=None) -> ROMResult:
     """Generic LSPG ROM over a (possibly nonlinear) decoder.
 
     One stepper covers the reference's RNM/HRNM (hypernet2D.py:275-676),
@@ -238,7 +242,8 @@ def manifold_rom(grid: Grid2D, y0, decode, dec_jac, dt, num_steps,
         grid, decode, dec_jac, dt, num_steps, dtype=y0.dtype,
         mesh=mesh, sample_weights=sample_weights, max_its=max_its,
         relnorm_cutoff=relnorm_cutoff, min_delta=min_delta,
-        ls_dtype=ls_dtype, ls_method=ls_method, line_search=line_search)
+        ls_dtype=ls_dtype, ls_method=ls_method, line_search=line_search,
+        decode_and_jac=decode_and_jac)
     red, its = run(y0, mu1, mu2)
     return ROMResult(red_coords=red, total_gn_its=its)
 

@@ -142,6 +142,8 @@ def gauss_newton(
     ls_dtype=None,
     ls_method: str = "qr",
     line_search: bool = False,
+    decode_and_jac: Optional[Callable] = None,
+    w0: Optional[jnp.ndarray] = None,
 ) -> GNResult:
     """Generic Gauss-Newton for min_y || wgt * res(decode(y)) ||.
 
@@ -164,8 +166,16 @@ def gauss_newton(
                reference's solvers always take the full step); needed
                for AE manifolds whose full Gauss-Newton step can leave
                the decoder's training region and diverge.
+    decode_and_jac: optional fused y -> (w, V). Kernel closures (kNN/
+               global RBF, GP) share a neighbor search or kernel solve
+               between decode and dec_jac; the body evaluates both at
+               the same y, so the fused form halves the closure cost.
+    w0:        optional decode(y0), when the caller already has it (the
+               time-steppers carry the decoded previous state) — skips
+               one decoder evaluation per Gauss-Newton solve.
     """
-    w0 = decode(y0)
+    if w0 is None:
+        w0 = decode(y0)
     f0 = res_fn(w0)
     if weights is not None:
         f0 = f0 * weights
@@ -177,7 +187,10 @@ def gauss_newton(
 
     def body(carry):
         y, it, done, rn_prev = carry
-        w = decode(y)
+        if decode_and_jac is not None:
+            w, v = decode_and_jac(y)
+        else:
+            w = decode(y)
         f = res_fn(w)
         fw = f * weights if weights is not None else f
         rn = jnp.linalg.norm(fw)
@@ -187,7 +200,8 @@ def gauss_newton(
         )
         stop = jnp.logical_or(conv, stag)
 
-        v = dec_jac(y, w)
+        if decode_and_jac is None:
+            v = dec_jac(y, w)
         jv = jac_apply(w, v)
         if weights is not None:
             jv = weights[:, None] * jv

@@ -235,7 +235,10 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1=None, mu2=None, *,
     import jax
     import jax.numpy as jnp
 
-    from finitedifference_tpu.closures.common import manifold_decoder
+    from finitedifference_tpu.closures.common import (
+        manifold_decoder,
+        manifold_decoder_fused,
+    )
     from finitedifference_tpu.ops.sampled import (
         augmented_state_indices,
         build_sampled_mesh,
@@ -271,19 +274,23 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1=None, mu2=None, *,
 
     ls_kw = default_ls(f32)
     if weights_full is None:
+        fused = manifold_decoder_fused(u_p_d, u_s_d, closure)
         run = make_manifold_stepper(grid, decode_full, dec_jac_full,
                                     cfg.dt, num_steps,
-                                    dtype=dtype, **ls_kw)
+                                    dtype=dtype, decode_and_jac=fused,
+                                    **ls_kw)
     else:
         sample_inds = np.where(weights_full != 0)[0]
         mesh = build_sampled_mesh(grid, sample_inds)
         idx = np.asarray(augmented_state_indices(mesh, grid.n_cells))
         dec_s, jac_s = manifold_decoder(u_p_d[idx], u_s_d[idx], closure)
+        fused_s = manifold_decoder_fused(u_p_d[idx], u_s_d[idx], closure)
         run = make_manifold_stepper(grid, dec_s, jac_s, cfg.dt,
                                     num_steps, dtype=dtype,
                                     mesh=mesh,
                                     sample_weights=jnp.asarray(
                                         weights_full[sample_inds], dtype),
+                                    decode_and_jac=fused_s,
                                     **ls_kw)
 
     results = []

@@ -323,3 +323,89 @@ class TestIdentityScaler:
             jnp.asarray(q_p[5] + 0.01))
         np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
                                    atol=1e-10)
+
+
+class TestFusedClosures:
+    """predict_and_jacobian fused paths (one neighbor search / kernel
+    evaluation per Gauss-Newton iteration instead of two) must agree
+    with the separate predict/jacobian calls, and the manifold stepper
+    must produce the same trajectory either way."""
+
+    def test_knn_fused_matches_separate(self):
+        q_p, q_s = smooth_data()
+        model = fit_knn_rbf(q_p, q_s, 0.5, 12, kernel="gaussian")
+        c = knn_rbf_closure(model)
+        y = jnp.asarray(q_p[7] + 0.05)
+        p, j = c.predict_and_jacobian(y)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(c.predict(y)),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(c.jacobian(y)),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_global_fused_matches_separate(self):
+        q_p, q_s = smooth_data()
+        model = fit_global_rbf(q_p, q_s, 0.5, kernel="matern")
+        c = global_rbf_closure(model)
+        y = jnp.asarray(q_p[3] - 0.04)
+        p, j = c.predict_and_jacobian(y)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(c.predict(y)),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(c.jacobian(y)),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_gp_fused_matches_separate(self):
+        q_p, q_s = smooth_data()
+        model = fit_gp(q_p, q_s, noise=1e-6, num_steps=30)
+        c = gp_closure(model)
+        y = jnp.asarray(q_p[11] + 0.02)
+        p, j = c.predict_and_jacobian(y)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(c.predict(y)),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(c.jacobian(y)),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_knn_cholesky_solve_matches_dense_solve(self):
+        """The PD-kernel local solve (Cholesky) must reproduce the dense
+        f64 ground truth of the local interpolation system."""
+        q_p, q_s = smooth_data(n_train=60)
+        k = 20
+        model = fit_knn_rbf(q_p, q_s, 0.8, k, kernel="gaussian")
+        y = jnp.asarray(q_p[9] + 0.03)
+        x = np.asarray(model.scaler.transform(y))
+        qn = np.asarray(model.q_p_train)
+        d2 = ((qn - x[None, :]) ** 2).sum(axis=1)
+        idx = np.argsort(d2)[:k]
+        xk = qn[idx]
+        phi_m = np.linalg.norm(xk[:, None, :] - xk[None, :, :], axis=-1)
+        phi_m = np.exp(-((0.8 * phi_m) ** 2)) + 1e-8 * np.eye(k)
+        w_ref = np.linalg.solve(phi_m, np.asarray(model.q_s_train)[idx])
+        r = np.linalg.norm(xk - x[None, :], axis=1)
+        want = np.exp(-((0.8 * r) ** 2)) @ w_ref
+        got = np.asarray(rbf_knn_predict(model, y))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+    def test_stepper_fused_parity(self):
+        """manifold_rom with decode_and_jac == without, f64 CPU."""
+        from finitedifference_tpu.closures.common import (
+            manifold_decoder_fused,
+        )
+
+        tm = TestManifoldROM()
+        grid, ops, xc, w0, snaps = tm.setup_problem(num_steps=25)
+        u, s = pod(snaps, num_modes=20, method="svd")
+        u_p, u_s = split_basis(np.asarray(u), 4, 16)
+        q = np.asarray(u).T @ snaps
+        model = fit_knn_rbf(q[:4].T, q[4:20].T, 0.5, 15,
+                            kernel="gaussian")
+        c = knn_rbf_closure(model)
+        decode, dec_jac = manifold_decoder(u_p, u_s, c)
+        fused = manifold_decoder_fused(u_p, u_s, c)
+        y0 = jnp.asarray(u_p.T @ w0)
+        plain = manifold_rom(grid, y0, decode, dec_jac, 0.05, 10,
+                             4.75, 0.02)
+        with_f = manifold_rom(grid, y0, decode, dec_jac, 0.05, 10,
+                              4.75, 0.02, decode_and_jac=fused)
+        assert int(plain.total_gn_its) == int(with_f.total_gn_its)
+        np.testing.assert_allclose(np.asarray(with_f.red_coords),
+                                   np.asarray(plain.red_coords),
+                                   rtol=1e-11, atol=1e-13)
