@@ -28,9 +28,11 @@ def plot_speedups(results_file: str, out: str,
         for k, v in dict(np.load(fom_file)).items():
             if k.startswith("fom_"):
                 foms.setdefault(k.split("_", 1)[1], v[0])
-    models = sorted({k.split("_")[0] for k in data} - {"fom"})
-    mus = sorted({k.split("_", 1)[1] for k in data if not
-                  k.startswith("fom_")})
+    # keys are "<model>_<mu1>_<mu2>" with multi-underscore model names
+    # (pod_rbf_hprom_knn, hrnm_ecm, ...): split from the right
+    models = sorted({k.rsplit("_", 2)[0] for k in data} - {"fom"})
+    mus = sorted({"_".join(k.rsplit("_", 2)[1:]) for k in data
+                  if not k.startswith("fom_")})
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
     width = 0.8 / max(len(models), 1)
     for i, m in enumerate(models):
