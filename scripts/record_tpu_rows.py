@@ -238,9 +238,14 @@ def closure_family(cfg, grid, w0, out, model, f32):
 
     if weights is not None:
         print(f"{model}: N_e = {int((weights > 0).sum())}")
+    # snapshot artifacts share one filename protocol across resolutions;
+    # suffix non-default grids so a 750^2 record never clobbers the
+    # coarse *_snaps_*.npy files (npz keys stay per-file unsuffixed)
+    save_prefix = prefix + cfg.res_suffix
     rows = run_manifold(cfg, grid, w0, u_p, u_s, closure, f32=f32,
                         weights_full=weights, label=label,
-                        save_prefix=prefix, points=TEST_POINTS, **kwargs)
+                        save_prefix=save_prefix, points=TEST_POINTS,
+                        **kwargs)
     for (elapsed, rel), mu in zip(rows, TEST_POINTS):
         record(out, f"{prefix}_{mu[0]}_{mu[1]}", elapsed, rel)
 
