@@ -56,8 +56,8 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
         # not encode the stored dtype, so a trajectory cached by an f32
         # pipeline could silently feed a full-precision consumer: warn
         # loudly on mismatch instead (ADVICE r2)
-        expected = np.dtype(snaps_dtype) if snaps_dtype is not None \
-            else np.float64
+        expected = np.dtype(snaps_dtype if snaps_dtype is not None
+                            else np.float64)
         if cached.dtype != expected:
             print(f"WARNING: cached snapshot {snap_fn} is {cached.dtype} "
                   f"but the caller expects {expected.name} — delete the "

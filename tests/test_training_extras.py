@@ -166,3 +166,23 @@ class TestRNMWithMu:
         y = jnp.arange(3.0)
         assert clo.predict(y).shape == (7,)
         assert clo.jacobian(y).shape == (7, 3)
+
+
+class TestSnapshotDtypeWarning:
+    def test_f32_cache_loads_with_warning(self, tmp_path, monkeypatch,
+                                          capsys):
+        """A cached f32 trajectory read by a full-precision consumer
+        must load with a loud warning, not crash (the default `expected`
+        dtype is the np.float64 CLASS, which has no .name)."""
+        monkeypatch.chdir(tmp_path)
+        grid = Grid2D(nx=6, ny=6, x_up=100.0, y_up=100.0)
+        w0 = np.ones(grid.state_dim)
+        folder = str(tmp_path / "snaps")
+        from finitedifference_tpu.snapshots import load_or_compute_snaps
+        load_or_compute_snaps([4.5, 0.02], grid, w0, 0.05, 3,
+                              snap_folder=folder,
+                              snaps_dtype=np.float32)
+        out = load_or_compute_snaps([4.5, 0.02], grid, w0, 0.05, 3,
+                                    snap_folder=folder)
+        assert out.dtype == np.float32
+        assert "WARNING" in capsys.readouterr().out
