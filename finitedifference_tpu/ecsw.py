@@ -487,6 +487,7 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
                          rel_err_thresh: float = 0.0,
                          max_support: Optional[int] = None,
                          ecm_tolerance: float = 1e-2,
+                         ecm_rank: Optional[int] = None,
                          ring: str = "full",
                          verbose: bool = False) -> np.ndarray:
     """Full-grid ECSW weight field from a training matrix C (rows, n_cells).
@@ -520,14 +521,38 @@ def compute_ecsw_weights(C, grid: Grid2D, bc_w: float = 50.0,
         w_int, _ = scipy.optimize.nnls(Ci, Ci.sum(axis=1))
     elif method == "ecm":
         from finitedifference_tpu.closures.common import run_on_host_cpu
-        from finitedifference_tpu.pod import randomized_svd_adaptive
+        from finitedifference_tpu.pod import (
+            randomized_svd,
+            randomized_svd_adaptive,
+        )
         # offline small-dense fit: the adaptive rSVD probe loop compiles
         # one program per trial rank — on the remote-compile axon
         # backend that is minutes of compiles (and an observed
-        # compile-helper 500); the host CPU backend runs it in seconds
-        u, s, vh = run_on_host_cpu(
-            lambda a: randomized_svd_adaptive(jnp.asarray(a), tol=1e-8),
-            Ci.T)
+        # compile-helper 500); the host CPU backend runs it in seconds.
+        # ecm_rank: fixed-rank sketch instead of the adaptive rank
+        # doubling — on wide training matrices (the 250^2 linear case is
+        # 61,008 x 4,750) the 1e-8-capture probes cost hours of host
+        # BLAS, while ECM's 1e-2 cubature tolerance only needs the
+        # leading spectrum; the captured-energy fraction is reported so
+        # the truncation is auditable.
+        if ecm_rank is not None:
+            u, s, vh = run_on_host_cpu(
+                lambda a: randomized_svd(jnp.asarray(a),
+                                         min(ecm_rank, *a.shape),
+                                         n_iter=2), Ci.T)
+            u, s = np.asarray(u), np.asarray(s)
+            keep = max(int(np.sum(s > 1e-8 * s[0])), 1)
+            u, s = u[:, :keep], s[:keep]
+            if verbose:
+                frob = np.linalg.norm(Ci)
+                cap = np.linalg.norm(s) / frob if frob > 0 else 1.0
+                print(f"  ecm: rank-{keep} sketch captures "
+                      f"{100 * cap:.4f}% of ||C||_F")
+        else:
+            u, s, vh = run_on_host_cpu(
+                lambda a: randomized_svd_adaptive(jnp.asarray(a),
+                                                  tol=1e-8),
+                Ci.T)
         z, alpha = empirical_cubature(np.asarray(u),
                                       tolerance=ecm_tolerance,
                                       verbose=verbose)

@@ -71,6 +71,17 @@ def build_hprom_weights(cfg, grid, basis, weights_method, bc_w,
                                           rel_err_thresh=1e-4,
                                           verbose=verbose, **kw)
     else:
+        if weights_method == "ecm":
+            # fixed-rank sketch: the adaptive 1e-8 probes on this
+            # (61k x 4.75k) training matrix cost hours of host BLAS.
+            # The cubature must match the training residuals about as
+            # tightly as the NNLS stop (1e-4) — at 1e-2 the linear
+            # sampled Gauss-Newton drifts and blows up by step ~400
+            # (the reference runs ECM to tolerance 0 on a 1e-8-truncated
+            # basis, run_HPROM_ecm.py:84-91 + empirical_cubature_method
+            # defaults)
+            kw.setdefault("ecm_rank", 800)
+            kw.setdefault("ecm_tolerance", 1e-4)
         weights = compute_ecsw_weights(c, grid, bc_w=bc_w,
                                        method=weights_method,
                                        rel_err_thresh=1e-4,

@@ -118,7 +118,10 @@ def linear_family(cfg, grid, w0, out, model, f32):
     if os.path.exists(wp):
         weights = np.load(wp)
     else:
-        weights = build_hprom_weights(cfg, grid, basis, method, 50.0,
+        # bc_w mirrors the reference per method: 50 for the NNLS family
+        # (run_HPROM_ecsw_joshua.py:76), 10 for ECM (run_HPROM_ecm.py)
+        bc_w = 10.0 if method == "ecm" else 50.0
+        weights = build_hprom_weights(cfg, grid, basis, method, bc_w,
                                       verbose=True)
         np.save(wp, weights)
     print(f"{model}: N_e = {int((weights > 0).sum())} ({wp})")
