@@ -341,6 +341,32 @@ def rom_metrics(dt, steps=500):
         round(steps / el, 1)
     _stderr(f"bench: tensor HPROM unroll3: {el:.3f}s / {steps} steps")
 
+    # factored stencil-block HPROM (rom_factored.py): ~8 kernels and
+    # ~12 MB of HBM traffic per GN iteration vs the tensor engine's
+    # 145 MB H stream — the single-run latency engine
+    from finitedifference_tpu.rom_factored import (
+        factored_hprom,
+        precompute_factored_blocks,
+    )
+    blocks = precompute_factored_blocks(mesh, ba32)
+    el = timed(lambda: float(jnp.sum(factored_hprom(
+        grid, mesh, sw32, y0, blocks, dt, steps, 4.75, 0.02,
+        ls_method="normal").red_coords)))
+    out["hprom_factored_250_f32_timesteps_per_sec"] = round(steps / el, 1)
+    _stderr(f"bench: factored HPROM 250^2 f32: {el:.3f}s / {steps} steps")
+    el = timed(lambda: float(jnp.sum(factored_hprom(
+        grid, mesh, sw32, y0, blocks, dt, steps, 4.75, 0.02,
+        unroll_its=3, ls_method="normal").red_coords)))
+    out["hprom_factored_unroll3_250_f32_timesteps_per_sec"] = \
+        round(steps / el, 1)
+    _stderr(f"bench: factored HPROM unroll3: {el:.3f}s / {steps} steps")
+    el = timed(lambda: float(jnp.sum(factored_hprom(
+        grid, mesh, sw32, y0, blocks, dt, steps, 4.75, 0.02,
+        unroll_its=3, ls_method="cg").red_coords)))
+    out["hprom_factored_unroll3_cg_250_f32_timesteps_per_sec"] = \
+        round(steps / el, 1)
+    _stderr(f"bench: factored HPROM unroll3+cg: {el:.3f}s / {steps} steps")
+
     # ECM mesh (when built): far sparser support than NNLS, so the
     # tensor engine's HBM floor — streaming H=(2*N_e, k, k) once per GN
     # iteration — drops proportionally. This is the single-run

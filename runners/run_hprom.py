@@ -132,6 +132,19 @@ def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
                                unroll_its=gn_unroll,
                                ls_method="normal")
             return np.asarray(res.red_coords)
+    elif engine == "factored":
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            precompute_factored_blocks,
+        )
+        blocks = precompute_factored_blocks(mesh, ba_d)
+
+        def solve():
+            res = factored_hprom(grid, mesh, sw_d, y0, blocks, cfg.dt,
+                                 cfg.num_steps, mu1, mu2,
+                                 unroll_its=gn_unroll,
+                                 ls_method="normal")
+            return np.asarray(res.red_coords)
     else:
         def solve():
             res = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
@@ -152,8 +165,10 @@ def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
                                 cfg.num_steps, snap_folder=cfg.snap_folder)
     prefix = "hprom" if weights_method == "nnls" \
         else f"hprom_{weights_method}"
+    # suffix non-default resolutions so a 50^2/750^2 run never clobbers
+    # the canonical 250^2 *_snaps_*.npy artifacts (ADVICE r2 pattern)
     return report("HPROM", rom_snaps, hdm, elapsed, (mu1, mu2),
-                  save_prefix=prefix)
+                  save_prefix=prefix + cfg.res_suffix)
 
 
 if __name__ == "__main__":
@@ -165,12 +180,14 @@ if __name__ == "__main__":
                             "sequential"])
     p.add_argument("--bc-w", type=float, default=50.0)
     p.add_argument("--engine", default="generic",
-                   choices=["generic", "tensor"],
+                   choices=["generic", "tensor", "factored"],
                    help="tensor: quadratic-form reduced-space stepper "
-                        "(rom_tensor.py) — fastest single-run path")
+                        "(rom_tensor.py); factored: stencil-block "
+                        "stepper (rom_factored.py) — fastest "
+                        "single-run path")
     p.add_argument("--gn-unroll", type=int, default=0,
-                   help="tensor engine: fixed unrolled GN iterations "
-                        "(0 keeps the dynamic while_loop)")
+                   help="tensor/factored engines: fixed unrolled GN "
+                        "iterations (0 keeps the dynamic while_loop)")
     a = p.parse_args()
     main(a.mu1, a.mu2, a.num_modes, a.compute_ecsw, a.weights_method,
          a.bc_w, a.num_cells, a.num_steps, a.f32, engine=a.engine,

@@ -51,7 +51,7 @@ def main(mu1=4.75, mu2=0.02, num_modes=95, load_basis=True,
     hdm = load_or_compute_snaps([mu1, mu2], grid, w0, cfg.dt,
                                 cfg.num_steps, snap_folder=cfg.snap_folder)
     return report("ROM", rom_snaps, hdm, elapsed, (mu1, mu2),
-                  save_prefix="rom")
+                  save_prefix="rom" + cfg.res_suffix)
 
 
 if __name__ == "__main__":

@@ -265,3 +265,91 @@ class TestTensorHPROM:
         np.testing.assert_allclose(np.asarray(res.red_coords),
                                    np.asarray(ref.red_coords),
                                    rtol=1e-5, atol=1e-7)
+
+
+class TestFactoredHPROM:
+    """rom_factored: the stencil-block HPROM must reproduce the generic
+    sampled-gather HPROM trajectory exactly (same math, same stopping
+    rules — the single-run latency engine, VERDICT r2 #4)."""
+
+    def _mesh_problem(self, steps=20):
+        from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
+
+        grid, ops, xc, w0, basis = setup_problem(num_steps=steps)
+        rng = np.random.default_rng(7)
+        weights = np.zeros(grid.n_cells)
+        chosen = rng.choice(grid.n_cells, size=40, replace=False)
+        weights[chosen] = 1.0 + rng.uniform(size=40)
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        ref = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, steps,
+                         MU[0], MU[1], ls_method="normal")
+        return grid, mesh, sw, y0, basis_aug, ref, steps
+
+    def test_matches_generic_hprom(self):
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            precompute_factored_blocks,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        blocks = precompute_factored_blocks(mesh, basis_aug)
+        res = factored_hprom(grid, mesh, sw, y0, blocks, DT, steps,
+                             MU[0], MU[1], ls_method="normal")
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-8, atol=1e-10)
+        assert int(res.total_gn_its) == int(ref.total_gn_its)
+
+    def test_unrolled_matches_while_loop(self):
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            precompute_factored_blocks,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        blocks = precompute_factored_blocks(mesh, basis_aug)
+        res = factored_hprom(grid, mesh, sw, y0, blocks, DT, steps,
+                             MU[0], MU[1], unroll_its=20,
+                             ls_method="normal")
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-8, atol=1e-10)
+        assert int(res.total_gn_its) == int(ref.total_gn_its)
+
+    def test_cg_solver_close(self):
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            precompute_factored_blocks,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        blocks = precompute_factored_blocks(mesh, basis_aug)
+        res = factored_hprom(grid, mesh, sw, y0, blocks, DT, steps,
+                             MU[0], MU[1], ls_method="cg")
+        np.testing.assert_allclose(np.asarray(res.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_matches_tensor_engine(self):
+        """Same trajectory as the quadratic-form engine too (three
+        independent implementations of one online problem)."""
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            precompute_factored_blocks,
+        )
+        from finitedifference_tpu.rom_tensor import (
+            precompute_hprom_tensors,
+            tensor_hprom,
+        )
+
+        grid, mesh, sw, y0, basis_aug, ref, steps = self._mesh_problem()
+        blocks = precompute_factored_blocks(mesh, basis_aug)
+        tens = precompute_hprom_tensors(grid, mesh, sw, basis_aug, DT)
+        a = factored_hprom(grid, mesh, sw, y0, blocks, DT, steps,
+                           MU[0], MU[1], ls_method="normal")
+        b = tensor_hprom(grid, mesh, sw, y0, tens, DT, steps,
+                         MU[0], MU[1], ls_method="normal")
+        np.testing.assert_allclose(np.asarray(a.red_coords),
+                                   np.asarray(b.red_coords),
+                                   rtol=1e-8, atol=1e-10)
