@@ -367,6 +367,31 @@ def rom_metrics(dt, steps=500):
         round(steps / el, 1)
     _stderr(f"bench: factored HPROM unroll3+cg: {el:.3f}s / {steps} steps")
 
+    # fused Pallas system: ONE kernel per GN iteration (ops/pallas_gn.py)
+    try:
+        from finitedifference_tpu.rom_factored import (
+            pallas_hprom,
+            precompute_pallas_system,
+        )
+        p6p, wgt_p = precompute_pallas_system(blocks, sw32)
+        el = timed(lambda: float(jnp.sum(pallas_hprom(
+            grid, mesh, p6p, wgt_p, y0, float(dt), steps, 4.75, 0.02,
+            ls_method="normal").red_coords)))
+        out["hprom_pallas_250_f32_timesteps_per_sec"] = \
+            round(steps / el, 1)
+        _stderr(f"bench: pallas HPROM 250^2 f32: {el:.3f}s "
+                f"/ {steps} steps")
+        el = timed(lambda: float(jnp.sum(pallas_hprom(
+            grid, mesh, p6p, wgt_p, y0, float(dt), steps, 4.75, 0.02,
+            unroll_its=3, ls_method="cg").red_coords)))
+        out["hprom_pallas_unroll3_cg_250_f32_timesteps_per_sec"] = \
+            round(steps / el, 1)
+        _stderr(f"bench: pallas HPROM unroll3+cg: {el:.3f}s "
+                f"/ {steps} steps")
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering is backend-
+        _stderr(f"bench: pallas HPROM skipped ({type(e).__name__}: "
+                f"{str(e)[:200]})")
+
     # ECM mesh (when built): far sparser support than NNLS, so the
     # tensor engine's HBM floor — streaming H=(2*N_e, k, k) once per GN
     # iteration — drops proportionally. This is the single-run

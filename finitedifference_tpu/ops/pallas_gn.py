@@ -1,0 +1,179 @@
+"""Pallas TPU kernel for the factored HPROM Gauss-Newton system.
+
+One pallas_call evaluates the ENTIRE sampled Gauss-Newton system
+(rom_factored.py): per grid tile of sampled cells it contracts the six
+stencil basis blocks with y (MXU), forms the residual and the Jacobian
+row coefficients elementwise (VPU), assembles the weighted rows of
+[J V | r] in registers, and accumulates the (k+1, k+1) Gram extension in
+a VMEM scratch — so one Gauss-Newton iteration costs ONE kernel dispatch
+plus the tiny reduced solve, instead of the ~8 XLA kernels of the pure
+factored path. HBM traffic per iteration is exactly one pass over the
+padded blocks (~6 MB on the 250^2 NNLS mesh).
+
+float32 only (Mosaic has no f64), traced under jax.enable_x64(False)
+like ops/pallas_wavefront.py (i64 grid machinery fails to lower on this
+backend). Zero-padding conventions: sampled cells are padded to a tile
+multiple with weight 0 (their rows vanish from the Gram); the mode axis
+is padded to 128 lanes with zero basis columns, and the weighted
+residual occupies lane `k` of the extension — so gext[:k, :k] is the
+Gram, gext[:k, k] is J^T W^2 r, and gext[k, k] is ||W r||^2.
+
+Stencil scalars live as (tile, 1) column vectors inside the kernel: that
+is exactly the broadcast shape the Jacobian row assembly needs against
+the (tile, KP) blocks, so no transposes occur anywhere.
+
+No reference counterpart (the reference's gauss_newton_ECSW_2D,
+hypernet2D.py:1859-1930, builds the same normal equations from scipy
+sparse products); this is the TPU-native fusion of it (VERDICT r2 #4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KP = 128          # padded mode axis (lanes)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
+    hdx = np.float32(hdx)
+    hdy = np.float32(hdy)
+    qdx = np.float32(0.5 * hdx)
+    qdy = np.float32(0.5 * hdy)
+    one = np.float32(1.0)
+    f32 = jnp.float32
+
+    def kernel(p6_ref, y_ref, cp_ref, wgt_ref, gext_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        y = y_ref[...]                       # (KP, 1)
+
+        def dot_y(p):
+            return jax.lax.dot_general(
+                p6_ref[p], y, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)  # (tile, 1)
+
+        u_s, u_w, u_so = dot_y(0), dot_y(1), dot_y(2)
+        v_s, v_w, v_so = dot_y(3), dot_y(4), dot_y(5)
+
+        cp_u = cp_ref[:, 0:1]                # (tile, 1)
+        cp_v = cp_ref[:, 1:2]
+        wgt = wgt_ref[...]                   # (tile, 1)
+
+        fuv = u_s * v_s
+        ru = u_s + qdx * (u_s * u_s - u_w * u_w) \
+            + qdy * (fuv - u_so * v_so) + cp_u
+        rv = v_s + qdy * (v_s * v_s - v_so * v_so) \
+            + qdx * (fuv - u_w * v_w) + cp_v
+
+        # Jacobian row coefficients (rom_factored.gn_system), pre-scaled
+        # by the ECSW weight so the assembled rows are the weighted ones
+        cu0 = (one + hdx * u_s + qdy * v_s) * wgt
+        cu1 = (-hdx * u_w) * wgt
+        cu2 = (-qdy * v_so) * wgt
+        cu3 = (qdy * u_s) * wgt
+        cu5 = (-qdy * u_so) * wgt
+        cv0 = (qdx * v_s) * wgt
+        cv1 = (-qdx * v_w) * wgt
+        cv3 = (one + hdy * v_s + qdx * u_s) * wgt
+        cv4 = (-qdx * u_w) * wgt
+        cv5 = (-hdy * v_so) * wgt
+
+        ju = cu0 * p6_ref[0] + cu1 * p6_ref[1] + cu2 * p6_ref[2] \
+            + cu3 * p6_ref[3] + cu5 * p6_ref[5]
+        jv = cv0 * p6_ref[0] + cv1 * p6_ref[1] + cv3 * p6_ref[3] \
+            + cv4 * p6_ref[4] + cv5 * p6_ref[5]
+
+        # weighted residual into lane k (basis lanes >= k are zero)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, KP), 1)
+        au = jnp.where(lane == k, ru * wgt, ju)
+        av = jnp.where(lane == k, rv * wgt, jv)
+
+        acc_ref[...] += (
+            jax.lax.dot_general(au, au, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+            + jax.lax.dot_general(av, av, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32))
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            gext_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+def pad_factored_inputs(p6, wgt, tile: int = 256):
+    """Pad (6, n_s, k) blocks and (n_s,) weights for the kernel.
+
+    Returns (p6p (6, n_p, KP) f32, wgt_p (n_p, 1) f32) with n_p a tile
+    multiple; padded cells carry weight 0 and zero basis rows.
+    """
+    p6 = np.asarray(p6, np.float32)
+    wgt = np.asarray(wgt, np.float32)
+    _, n_s, k = p6.shape
+    if k > KP - 1:
+        raise ValueError(f"k={k} needs k+1 <= {KP} lanes")
+    n_p = _round_up(n_s, tile)
+    p6p = np.zeros((6, n_p, KP), np.float32)
+    p6p[:, :n_s, :k] = p6
+    wgt_p = np.zeros((n_p, 1), np.float32)
+    wgt_p[:n_s, 0] = wgt
+    return jnp.asarray(p6p), jnp.asarray(wgt_p)
+
+
+def gn_system_pallas(p6p, y, cp, wgt_p, k: int, hdx: float, hdy: float,
+                     *, tile: int = 256, interpret: bool = False):
+    """One fused Gauss-Newton system evaluation.
+
+    p6p:  (6, n_p, KP) padded blocks (pad_factored_inputs)
+    y:    (k,) reduced coords (f32)
+    cp:   (n_p, 2) per-step residual constants [cp_u, cp_v] columns
+    wgt_p:(n_p, 1) padded ECSW weights
+    Returns gext (KP, KP): [:k,:k] Gram, [:k,k] J^T W^2 r, [k,k] ||Wr||^2.
+    """
+    with jax.enable_x64(False):
+        return _gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                                 tile=tile, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "hdx", "hdy", "tile",
+                                    "interpret"))
+def _gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, *, tile,
+                      interpret):
+    f32 = jnp.float32
+    n_p = p6p.shape[1]
+    y_pad = jnp.zeros((KP, 1), f32).at[:k, 0].set(y.astype(f32))
+    kernel = _make_kernel(k, tile, hdx, hdy)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_p // tile,),
+        in_specs=[
+            pl.BlockSpec((6, tile, KP), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KP, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((KP, KP), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((KP, KP), f32),
+        scratch_shapes=[pltpu.VMEM((KP, KP), f32)],
+        interpret=interpret,
+    )(p6p.astype(f32), y_pad, cp.astype(f32), wgt_p.astype(f32))

@@ -237,3 +237,137 @@ def factored_hprom(grid: Grid2D, mesh, sample_weights, y0,
         step, (y0, scalars(y0), jnp.int32(0)), None, length=num_steps)
     red = jnp.concatenate((y0[None, :], ys), axis=0).T
     return ROMResult(red_coords=red, total_gn_its=its)
+
+
+def precompute_pallas_system(blocks: FactoredBlocks, sample_weights,
+                             tile: int = 256):
+    """Padded (p6p, wgt_p) device arrays for the fused Pallas system
+    (ops/pallas_gn.py). f32 only."""
+    from finitedifference_tpu.ops.pallas_gn import pad_factored_inputs
+
+    return pad_factored_inputs(blocks.p6, sample_weights, tile=tile)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "num_steps", "max_its", "unroll_its",
+                     "ls_method", "tile", "interpret"),
+)
+def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
+                 mu1, mu2, *, max_its: int = 20,
+                 relnorm_cutoff: float = 1e-5, min_delta: float = 0.1,
+                 unroll_its: int = 0, ls_method: str = "normal",
+                 tile: int = 256, interpret: bool = False) -> ROMResult:
+    """factored_hprom with the whole Gauss-Newton system fused into ONE
+    Pallas kernel per iteration (ops/pallas_gn.py) — the lowest-latency
+    single-run HPROM path. f32 only (Mosaic); `dt` is static (it fixes
+    the kernel's stencil constants).
+
+    Identical math and stopping rules to rom.ecsw_hprom; trajectory
+    parity is tested in tests/test_pallas_gn.py (interpret mode on CPU).
+    """
+    from finitedifference_tpu.ops.pallas_gn import KP, gn_system_pallas
+
+    f32 = jnp.float32
+    y0 = jnp.asarray(y0, f32)
+    n_p = p6p.shape[1]
+    n_s = mesh.n_sample
+    k = y0.shape[0]
+    p_flat = p6p.reshape(6 * n_p, KP)
+
+    hdx = float(0.5 * dt / grid.dx)
+    hdy = float(0.5 * dt / grid.dy)
+    qdx = jnp.asarray(0.5 * hdx, f32)
+    qdy = jnp.asarray(0.5 * hdy, f32)
+
+    pad = (0, n_p - n_s)
+    src = jnp.pad(sampled_source(mesh, grid, mu2, dt, f32), pad)
+    lbc = jnp.pad(sampled_inflow_bc(mesh, grid, mu1, dt, f32), pad)
+    src_lbc = src + lbc
+    wgt = wgt_p[:, 0]
+
+    def scalars(y):
+        y_pad = jnp.zeros((KP,), f32).at[:k].set(y)
+        hi = jax.lax.Precision.HIGHEST
+        return jnp.matmul(p_flat, y_pad, precision=hi).reshape(6, n_p)
+
+    def half_flux(s):
+        u_s, u_w, u_so, v_s, v_w, v_so = s
+        fuv_s = u_s * v_s
+        ru = qdx * (u_s * u_s - u_w * u_w) + qdy * (fuv_s - u_so * v_so)
+        rv = qdy * (v_s * v_s - v_so * v_so) + qdx * (fuv_s - u_w * v_w)
+        return ru, rv
+
+    def step_const(sp):
+        ru_f, rv_f = half_flux(sp)
+        return jnp.stack((-sp[0] + ru_f - src_lbc, -sp[3] + rv_f),
+                         axis=1)                          # (n_p, 2)
+
+    def solve_ls(g, b):
+        if ls_method == "normal":
+            from jax.scipy.linalg import cho_factor, cho_solve
+            return cho_solve(cho_factor(g), b)
+        hi = jax.lax.Precision.HIGHEST
+        x = jnp.zeros_like(b)
+        r = b
+        p = r
+        rs = jnp.vdot(r, r)
+        tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+        for _ in range(24):
+            gp = jnp.matmul(g, p, precision=hi)
+            denom = jnp.vdot(p, gp)
+            live = jnp.logical_and(rs > tiny, denom > tiny)
+            alpha = jnp.where(live, rs / jnp.where(live, denom, 1.0),
+                              0.0)
+            x = x + alpha * p
+            r = r - alpha * gp
+            rs_new = jnp.vdot(r, r)
+            beta = jnp.where(live, rs_new / jnp.where(live, rs, 1.0),
+                             0.0)
+            p = r + beta * p
+            rs = rs_new
+        return x
+
+    def gn_body(carry):
+        y, it, done, rn_prev, init_norm, cp = carry
+        gext = gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                                tile=tile, interpret=interpret)
+        rn = jnp.sqrt(gext[k, k])
+        conv = rn / init_norm < relnorm_cutoff
+        stag = jnp.logical_and(
+            it > 0, jnp.abs(rn_prev - rn) / rn_prev < min_delta)
+        stop = jnp.logical_or(jnp.logical_or(conv, stag), done)
+
+        dy = solve_ls(gext[:k, :k], -gext[:k, k])
+        y_new = jnp.where(stop, y, y + dy)
+        return (y_new, it + (~stop).astype(jnp.int32), stop,
+                jnp.where(done, rn_prev, rn), init_norm, cp)
+
+    def gn_cond(carry):
+        _, it, done, _, _, _ = carry
+        return jnp.logical_and(~done, it < max_its)
+
+    def step(carry, _):
+        yp, sp, its = carry
+        cp = step_const(sp)
+        ru0, rv0 = half_flux(sp)
+        ru0 = sp[0] + ru0 + cp[:, 0]
+        rv0 = sp[3] + rv0 + cp[:, 1]
+        init_norm = jnp.sqrt(jnp.sum((wgt * ru0) ** 2)
+                             + jnp.sum((wgt * rv0) ** 2))
+
+        carry0 = (yp, jnp.int32(0), jnp.bool_(False), init_norm,
+                  init_norm, cp)
+        if unroll_its > 0:
+            c = carry0
+            for _ in range(unroll_its):
+                c = gn_body(c)
+            y, it = c[0], c[1]
+        else:
+            y, it = jax.lax.while_loop(gn_cond, gn_body, carry0)[:2]
+        return (y, scalars(y), its + it), y
+
+    (_, _, its), ys = jax.lax.scan(
+        step, (y0, scalars(y0), jnp.int32(0)), None, length=num_steps)
+    red = jnp.concatenate((y0[None, :], ys), axis=0).T
+    return ROMResult(red_coords=red, total_gn_its=its)

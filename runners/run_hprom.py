@@ -145,6 +145,21 @@ def main(mu1=5.19, mu2=0.026, num_modes=95, compute_ecsw=False,
                                  unroll_its=gn_unroll,
                                  ls_method="normal")
             return np.asarray(res.red_coords)
+    elif engine == "pallas":
+        from finitedifference_tpu.rom_factored import (
+            pallas_hprom,
+            precompute_factored_blocks,
+            precompute_pallas_system,
+        )
+        blocks = precompute_factored_blocks(mesh, ba_d)
+        p6p, wgt_p = precompute_pallas_system(blocks, sw_d)
+
+        def solve():
+            res = pallas_hprom(grid, mesh, p6p, wgt_p, y0,
+                               float(cfg.dt), cfg.num_steps, mu1, mu2,
+                               unroll_its=gn_unroll,
+                               ls_method="normal")
+            return np.asarray(res.red_coords)
     else:
         def solve():
             res = ecsw_hprom(grid, mesh, sw_d, y0, ba_d, cfg.dt,
@@ -180,7 +195,7 @@ if __name__ == "__main__":
                             "sequential"])
     p.add_argument("--bc-w", type=float, default=50.0)
     p.add_argument("--engine", default="generic",
-                   choices=["generic", "tensor", "factored"],
+                   choices=["generic", "tensor", "factored", "pallas"],
                    help="tensor: quadratic-form reduced-space stepper "
                         "(rom_tensor.py); factored: stencil-block "
                         "stepper (rom_factored.py) — fastest "
