@@ -388,6 +388,13 @@ def rom_metrics(dt, steps=500):
             round(steps / el, 1)
         _stderr(f"bench: pallas HPROM unroll3+cg: {el:.3f}s "
                 f"/ {steps} steps")
+        el = timed(lambda: float(jnp.sum(pallas_hprom(
+            grid, mesh, p6p, wgt_p, y0, float(dt), steps, 4.75, 0.02,
+            unroll_its=3, ls_method="fused").red_coords)))
+        out["hprom_pallas_fused_unroll3_250_f32_timesteps_per_sec"] = \
+            round(steps / el, 1)
+        _stderr(f"bench: pallas HPROM fused-solve unroll3: {el:.3f}s "
+                f"/ {steps} steps")
     except Exception as e:  # noqa: BLE001 — Mosaic lowering is backend-
         _stderr(f"bench: pallas HPROM skipped ({type(e).__name__}: "
                 f"{str(e)[:200]})")

@@ -115,6 +115,104 @@ def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
     return kernel
 
 
+def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
+                      solve_iters: int):
+    """System kernel + in-VMEM CG epilogue: outputs (dy, rn) directly,
+    so one Gauss-Newton iteration is ONE kernel dispatch total."""
+    base = _make_kernel(k, tile, hdx, hdy)
+    f32 = jnp.float32
+
+    def kernel(p6_ref, y_ref, cp_ref, wgt_ref, dy_ref, rn_ref, acc_ref):
+        # accumulate the Gram extension exactly as the base kernel does,
+        # writing the final copy into the scratch itself
+        base(p6_ref, y_ref, cp_ref, wgt_ref, acc_ref, acc_ref)
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            g = acc_ref[...]
+            row = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
+            # mask the residual row/col out of the solve: rows/cols >= k
+            # are zero already (zero basis lanes), row/col k carries
+            # [J^T W^2 r | ||Wr||^2]
+            g_s = jnp.where(jnp.logical_or(row == k, col == k),
+                            f32(0.0), g)
+            rowv = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)
+            b = jnp.where(rowv == k, f32(0.0), -g[:, k:k + 1])
+
+            x = jnp.zeros((KP, 1), f32)
+            r = b
+            p = r
+            rs = jnp.sum(r * r)
+            tiny = f32(np.finfo(np.float32).tiny)
+            for _ in range(solve_iters):
+                gp = jax.lax.dot_general(
+                    g_s, p, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                denom = jnp.sum(p * gp)
+                live = jnp.logical_and(rs > tiny, denom > tiny)
+                alpha = jnp.where(live,
+                                  rs / jnp.where(live, denom, f32(1.0)),
+                                  f32(0.0))
+                x = x + alpha * p
+                r = r - alpha * gp
+                rs_new = jnp.sum(r * r)
+                beta = jnp.where(live,
+                                 rs_new / jnp.where(live, rs, f32(1.0)),
+                                 f32(0.0))
+                p = r + beta * p
+                rs = rs_new
+            dy_ref[...] = x
+            rn_ref[...] = jnp.sqrt(g[k:k + 1, k:k + 1])
+
+    return kernel
+
+
+def gn_step_pallas(p6p, y, cp, wgt_p, k: int, hdx: float, hdy: float,
+                   *, tile: int = 256, solve_iters: int = 24,
+                   interpret: bool = False):
+    """One FULLY fused Gauss-Newton iteration: system build + masked
+    in-VMEM CG solve in a single kernel. Returns (dy (k,), rn scalar)."""
+    with jax.enable_x64(False):
+        dy, rn = _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                                 tile=tile, solve_iters=solve_iters,
+                                 interpret=interpret)
+    return dy[:k, 0], rn[0, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "hdx", "hdy", "tile",
+                                    "solve_iters", "interpret"))
+def _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, *, tile,
+                    solve_iters, interpret):
+    f32 = jnp.float32
+    n_p = p6p.shape[1]
+    y_pad = jnp.zeros((KP, 1), f32).at[:k, 0].set(y.astype(f32))
+    kernel = _make_step_kernel(k, tile, hdx, hdy, solve_iters)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_p // tile,),
+        in_specs=[
+            pl.BlockSpec((6, tile, KP), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KP, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((KP, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((KP, 1), f32),
+                   jax.ShapeDtypeStruct((1, 1), f32)),
+        scratch_shapes=[pltpu.VMEM((KP, KP), f32)],
+        interpret=interpret,
+    )(p6p.astype(f32), y_pad, cp.astype(f32), wgt_p.astype(f32))
+
+
 def pad_factored_inputs(p6, wgt, tile: int = 256):
     """Pad (6, n_s, k) blocks and (n_s,) weights for the kernel.
 

@@ -265,8 +265,16 @@ def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
 
     Identical math and stopping rules to rom.ecsw_hprom; trajectory
     parity is tested in tests/test_pallas_gn.py (interpret mode on CPU).
+
+    ls_method="fused" folds the reduced solve into the system kernel as
+    an in-VMEM conjugate-gradient epilogue (ops/pallas_gn.py
+    gn_step_pallas): one kernel dispatch per Gauss-Newton iteration.
     """
-    from finitedifference_tpu.ops.pallas_gn import KP, gn_system_pallas
+    from finitedifference_tpu.ops.pallas_gn import (
+        KP,
+        gn_step_pallas,
+        gn_system_pallas,
+    )
 
     f32 = jnp.float32
     y0 = jnp.asarray(y0, f32)
@@ -330,15 +338,18 @@ def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
 
     def gn_body(carry):
         y, it, done, rn_prev, init_norm, cp = carry
-        gext = gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
-                                tile=tile, interpret=interpret)
-        rn = jnp.sqrt(gext[k, k])
+        if ls_method == "fused":
+            dy, rn = gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                                    tile=tile, interpret=interpret)
+        else:
+            gext = gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                                    tile=tile, interpret=interpret)
+            rn = jnp.sqrt(gext[k, k])
+            dy = solve_ls(gext[:k, :k], -gext[:k, k])
         conv = rn / init_norm < relnorm_cutoff
         stag = jnp.logical_and(
             it > 0, jnp.abs(rn_prev - rn) / rn_prev < min_delta)
         stop = jnp.logical_or(jnp.logical_or(conv, stag), done)
-
-        dy = solve_ls(gext[:k, :k], -gext[:k, k])
         y_new = jnp.where(stop, y, y + dy)
         return (y_new, it + (~stop).astype(jnp.int32), stop,
                 jnp.where(done, rn_prev, rn), init_norm, cp)

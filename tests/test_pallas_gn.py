@@ -141,3 +141,30 @@ def test_pallas_hprom_unrolled(mesh_problem):
                                np.asarray(a.red_coords),
                                rtol=1e-6, atol=1e-8)
     assert int(b.total_gn_its) == int(a.total_gn_its)
+
+
+def test_pallas_hprom_fused_solve(mesh_problem):
+    """ls_method='fused' (in-VMEM CG epilogue, one kernel per GN
+    iteration) matches the two-kernel pallas path."""
+    from finitedifference_tpu.rom_factored import (
+        pallas_hprom,
+        precompute_factored_blocks,
+        precompute_pallas_system,
+    )
+
+    grid, mesh, sw, y0, basis_aug = mesh_problem
+    f32 = jnp.float32
+    steps = 8
+    ba = jnp.asarray(basis_aug, f32)
+    y0f = jnp.asarray(y0, f32)
+    swf = sw.astype(f32)
+    blocks = precompute_factored_blocks(mesh, ba)
+    p6p, wgt_p = precompute_pallas_system(blocks, swf, tile=8)
+    a = pallas_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
+                     MU[0], MU[1], tile=8, interpret=True)
+    b = pallas_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
+                     MU[0], MU[1], ls_method="fused", tile=8,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(b.red_coords),
+                               np.asarray(a.red_coords),
+                               rtol=1e-4, atol=1e-6)
