@@ -614,7 +614,7 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
                             level1: str = "fista",
                             fista_iters: int = 800,
                             support_cap_per_block: Optional[int] = None,
-                            device_block_chunk: int = 16,
+                            device_block_chunk: int = 4,
                             ring: str = "full",
                             verbose: bool = False) -> np.ndarray:
     """Two-level domain-decomposed NNLS (reference
@@ -655,7 +655,12 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
         batched = jax.jit(jax.vmap(
             lambda c, d: nnls_fista(c, d, num_iters=fista_iters)))
         for s in range(0, num_subdomains, device_block_chunk):
-            cb = jnp.asarray(Cb[s:s + device_block_chunk])
+            # level 1 is SUPPORT SCREENING only (level 2 re-solves
+            # exactly on the union support), so the batched device
+            # program runs f32: on the 250^2 training matrix the f64
+            # batch OOMed the 16 GB HBM (observed 40 GB program)
+            cb = jnp.asarray(Cb[s:s + device_block_chunk],
+                             dtype=jnp.float32)
             xs, rels = batched(cb, cb.sum(axis=2))
             xs = np.asarray(xs)
             for bi in range(xs.shape[0]):
