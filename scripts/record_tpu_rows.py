@@ -106,11 +106,12 @@ def linear_family(cfg, grid, w0, out, model, f32):
 
     from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
 
-    if model == "hprom_tensor":
-        # latency-race engine (VERDICT r2 #4): same NNLS mesh, online
-        # loop as dense reduced-space contractions, f32 (the engine's
-        # race configuration; trajectory parity vs the generic engine is
-        # tested in tests/test_rom.py)
+    if model in ("hprom_tensor", "hprom_factored", "hprom_pallas"):
+        # latency-race engines (VERDICT r2 #4): same NNLS mesh, online
+        # loop as dense reduced-space contractions (tensor), factored
+        # stencil-block kernels (factored), or one fused Pallas kernel
+        # per GN iteration (pallas) — all f32 race configurations with
+        # trajectory parity tested vs the generic engine
         method = "nnls"
     else:
         method = model.replace("hprom", "").strip("_") or "nnls"
@@ -126,7 +127,7 @@ def linear_family(cfg, grid, w0, out, model, f32):
         np.save(wp, weights)
     print(f"{model}: N_e = {int((weights > 0).sum())} ({wp})")
     mesh, sw, ba = prepare_hprom(grid, weights, basis)
-    if model == "hprom_tensor":
+    if model in ("hprom_tensor", "hprom_factored", "hprom_pallas"):
         dtype = jnp.float32
     y0 = jnp.asarray(basis.T @ w0, dtype)
     sw_d, ba_d = sw.astype(dtype), jnp.asarray(ba, dtype)
@@ -136,12 +137,35 @@ def linear_family(cfg, grid, w0, out, model, f32):
             tensor_hprom,
         )
         tens = precompute_hprom_tensors(grid, mesh, sw_d, ba_d, cfg.dt)
+    elif model in ("hprom_factored", "hprom_pallas"):
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            pallas_hprom,
+            precompute_factored_blocks,
+            precompute_pallas_system,
+        )
+        blocks = precompute_factored_blocks(mesh, ba_d)
+        if model == "hprom_pallas":
+            p6p, wgt_p = precompute_pallas_system(blocks, sw_d)
     for mu in TEST_POINTS:
         if model == "hprom_tensor":
             def solve():
                 r = tensor_hprom(grid, mesh, sw_d, y0, tens, cfg.dt,
                                  cfg.num_steps, mu[0], mu[1],
                                  ls_method="normal")
+                return np.asarray(r.red_coords)
+        elif model == "hprom_factored":
+            def solve():
+                r = factored_hprom(grid, mesh, sw_d, y0, blocks,
+                                   cfg.dt, cfg.num_steps, mu[0], mu[1],
+                                   ls_method="normal")
+                return np.asarray(r.red_coords)
+        elif model == "hprom_pallas":
+            def solve():
+                r = pallas_hprom(grid, mesh, p6p, wgt_p, y0,
+                                 float(cfg.dt), cfg.num_steps,
+                                 mu[0], mu[1], unroll_its=3,
+                                 ls_method="fused")
                 return np.asarray(r.red_coords)
         else:
             def solve():
@@ -253,7 +277,8 @@ def closure_family(cfg, grid, w0, out, model, f32):
         record(out, f"{prefix}_{mu[0]}_{mu[1]}", elapsed, rel)
 
 
-LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_multilevel",
+LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_factored",
+          "hprom_pallas", "hprom_multilevel",
           "hprom_sequential", "hprom_tensor"}
 
 
