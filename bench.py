@@ -426,6 +426,13 @@ def rom_metrics(dt, steps=500):
         round(9 * steps / el, 1)
     _stderr(f"bench: HPROM 9-point vmapped sweep: {el:.3f}s "
             f"({9 * steps / el:.0f} agg steps/s)")
+    el = timed(lambda: float(jnp.sum(sweep_hprom(
+        grid, mesh, sw32, y0, ba32, dt, steps, mus,
+        engine="factored", ls_method="normal"))))
+    out["hprom_sweep9_factored_250_f32_aggregate_timesteps_per_sec"] = \
+        round(9 * steps / el, 1)
+    _stderr(f"bench: factored HPROM 9-point sweep: {el:.3f}s "
+            f"({9 * steps / el:.0f} agg steps/s)")
     return out
 
 

@@ -79,7 +79,8 @@ def sweep_lspg(grid: Grid2D, w0, dt, num_steps, mus, basis, *,
 
 
 def sweep_hprom(grid: Grid2D, smesh, sample_weights, y0, basis_aug, dt,
-                num_steps, mus, *, mesh: Optional[Mesh] = None, **kwargs):
+                num_steps, mus, *, mesh: Optional[Mesh] = None,
+                engine: str = "generic", **kwargs):
     """Batched ECSW HPROM: reduced coordinates (B, k, num_steps+1).
 
     The multi-query economics story of hyper-reduction on TPU: one
@@ -87,14 +88,31 @@ def sweep_hprom(grid: Grid2D, smesh, sample_weights, y0, basis_aug, dt,
     sweep, each point a few hundred sampled cells instead of the full
     grid. smesh is the ops.sampled.SampledMesh (shared across the
     batch); `mesh` (optional) shards the mu batch over devices.
+
+    engine="factored" runs the stencil-block engine (rom_factored.py):
+    under vmap its per-iteration GEMV and Gram build become true batched
+    MXU GEMMs, so the aggregate sweep rate improves over the
+    gather-based generic path.
     """
     from finitedifference_tpu.rom import ecsw_hprom
+    from finitedifference_tpu.rom_factored import (
+        factored_hprom,
+        precompute_factored_blocks,
+    )
 
     mus = _shard_batch(mus, mesh)
+    if engine == "factored":
+        blocks = precompute_factored_blocks(smesh, basis_aug)
 
-    def run(mu):
-        return ecsw_hprom(grid, smesh, sample_weights, y0, basis_aug,
-                          dt, num_steps, mu[0], mu[1], **kwargs).red_coords
+        def run(mu):
+            return factored_hprom(grid, smesh, sample_weights, y0,
+                                  blocks, dt, num_steps, mu[0], mu[1],
+                                  **kwargs).red_coords
+    else:
+        def run(mu):
+            return ecsw_hprom(grid, smesh, sample_weights, y0,
+                              basis_aug, dt, num_steps, mu[0], mu[1],
+                              **kwargs).red_coords
 
     return jax.vmap(run)(mus)
 

@@ -102,6 +102,16 @@ class TestSweep:
                                        np.asarray(serial),
                                        rtol=1e-11, atol=1e-12)
 
+        # factored engine under the same sharded vmap (ls_method=normal
+        # on both sides: identical math -> near-identical trajectories)
+        red_f = sweep_hprom(grid, smesh, sw, y0, basis_aug, DT, 8, mus,
+                            mesh=mesh, engine="factored",
+                            ls_method="normal")
+        ref_n = sweep_hprom(grid, smesh, sw, y0, basis_aug, DT, 8, mus,
+                            mesh=mesh, ls_method="normal")
+        np.testing.assert_allclose(np.asarray(red_f), np.asarray(ref_n),
+                                   rtol=1e-8, atol=1e-10)
+
     def test_manifold_sweep(self, eight_devices):
         """Vmapped manifold-ROM sweep (linear decoder degenerate case)
         matches lspg_prom point-by-point."""
