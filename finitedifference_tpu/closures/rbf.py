@@ -213,11 +213,25 @@ class KNNRBF(NamedTuple):
     neighbors: int
     kernel: str
     scaler: MinMaxScaler
+    # Tikhonov ridge on the local interpolation system. The reference
+    # solves unregularized (rbf_utils.py local np.linalg.solve); 1e-8
+    # preserves that behavior to round-off. Larger values are a REAL
+    # hyperparameter: at the searched (eps, k) the local systems are
+    # cond ~1e10 at 1e-8, and a 1e-5 ridge cuts held-out secondary-
+    # coordinate prediction error ~2-5x (it stops the interpolant from
+    # fitting noise directions) — train_knn_rbf_search sweeps it.
+    ridge: float = 1e-8
 
 
 def _knn_gather(model: KNNRBF, x):
-    """Indices + coordinates of the k nearest training points to x."""
-    d2 = jnp.sum((model.q_p_train - x[None, :]) ** 2, axis=1)
+    """Indices + coordinates of the k nearest training points to x.
+
+    Distances and top_k run in f32 regardless of the model dtype:
+    neighbor SELECTION only needs ~7 digits (the sets differ only on
+    exact distance ties), while f64 top_k/sort is heavily emulated on
+    TPU. The gathered coordinates keep the model dtype."""
+    d2 = jnp.sum((model.q_p_train.astype(jnp.float32)
+                  - x[None, :].astype(jnp.float32)) ** 2, axis=1)
     _, idx = jax.lax.top_k(-d2, model.neighbors)
     return model.q_p_train[idx], model.q_s_train[idx]
 
@@ -237,10 +251,26 @@ def _knn_local_weights(model: KNNRBF, xk, yk):
     (jnp.linalg.solve) fails to compile in f64 on the axon TPU backend.
     """
     phi = kernel_matrix(xk, xk, model.epsilon, model.kernel)
-    phi = phi + 1e-8 * jnp.eye(phi.shape[0], dtype=phi.dtype)
+    phi = phi + model.ridge * jnp.eye(phi.shape[0], dtype=phi.dtype)
     if model.kernel in _PD_KERNELS:
         from jax.scipy.linalg import cho_factor, cho_solve
 
+        if phi.dtype == jnp.float64 and model.ridge >= 1e-6:
+            # mixed-precision refined solve: factorize once in f32 (the
+            # f64 Cholesky is a sequential blocked loop under the TPU's
+            # f64 emulation — the dominant cost of every online kNN
+            # Gauss-Newton iteration), then f64 residual-correction
+            # passes recover f64 accuracy. Correct only when the ridge
+            # keeps cond(phi) within f32 range (contraction per pass
+            # ~ eps_f32 * cond <= 1e-7/ridge); the 1e-8 reference-
+            # faithful default keeps the pure f64 factorization.
+            f32 = jnp.float32
+            cf = cho_factor(phi.astype(f32))
+            w = cho_solve(cf, yk.astype(f32)).astype(phi.dtype)
+            for _ in range(3):
+                r = yk - hi_matmul(phi, w)
+                w = w + cho_solve(cf, r.astype(f32)).astype(phi.dtype)
+            return w
         return cho_solve(cho_factor(phi), yk)
     from finitedifference_tpu.solvers import lstsq_qr
 
@@ -311,7 +341,8 @@ def knn_rbf_closure(model: KNNRBF) -> Closure:
 
 def fit_knn_rbf(q_p_train, q_s_train, epsilon, neighbors: int,
                 kernel: str = "gaussian",
-                scaler: MinMaxScaler | None = None) -> KNNRBF:
+                scaler: MinMaxScaler | None = None,
+                ridge: float = 1e-8) -> KNNRBF:
     from finitedifference_tpu.closures.common import fit_minmax
 
     _get_kernel(kernel)   # validate early
@@ -322,5 +353,5 @@ def fit_knn_rbf(q_p_train, q_s_train, epsilon, neighbors: int,
         q_p_train=scaler.transform(q_p_train),
         q_s_train=jnp.asarray(q_s_train),
         epsilon=float(epsilon), neighbors=int(neighbors),
-        kernel=kernel, scaler=scaler,
+        kernel=kernel, scaler=scaler, ridge=float(ridge),
     )

@@ -116,19 +116,27 @@ def train_global_rbf(q_p, q_s, *,
 
 
 def train_knn_rbf_search(q_p, q_s, *, epsilons=None, neighbor_counts=None,
+                         ridges=None,
                          kernel: str = "gaussian", train_frac: float = 0.8,
                          seed: int = 1234557, on_host: bool = True,
                          verbose: bool = False):
-    """Hyperparameter search over (epsilon, k) for the kNN-RBF closure
-    (role of the reference's grid_search_rbf_nearest_neighbors.py /
-    bayesian_optimization_rbf_neighbors.py): fit on a train split,
+    """Hyperparameter search over (epsilon, k, ridge) for the kNN-RBF
+    closure (role of the reference's grid_search_rbf_nearest_neighbors.py
+    / bayesian_optimization_rbf_neighbors.py): fit on a train split,
     score by held-out reconstruction error, return the best KNNRBF.
+
+    `ridges` extends the reference's (epsilon, k) grid with the local-
+    system Tikhonov ridge (closures/rbf.py::KNNRBF.ridge): the searched
+    (eps, k) optima sit at cond ~1e10 local systems where a 1e-5 ridge
+    cuts held-out error severalfold, and any ridge >= 1e-6 additionally
+    unlocks the mixed-precision local solve online.
     """
     if on_host:
         from finitedifference_tpu.closures.common import run_on_host_cpu
         return run_on_host_cpu(
             train_knn_rbf_search, q_p, q_s, epsilons=epsilons,
-            neighbor_counts=neighbor_counts, kernel=kernel,
+            neighbor_counts=neighbor_counts, ridges=ridges,
+            kernel=kernel,
             train_frac=train_frac, seed=seed, on_host=False,
             verbose=verbose)
 
@@ -148,28 +156,35 @@ def train_knn_rbf_search(q_p, q_s, *, epsilons=None, neighbor_counts=None,
     if neighbor_counts is None:
         neighbor_counts = [k for k in (10, 20, 50, 100) if k <= n_tr]
 
+    if ridges is None:
+        ridges = [1e-8, 1e-6, 1e-5, 1e-4]
+
     qp_va = jnp.asarray(q_p[va])
     best = (np.inf, None)
     log = {}
     for k in neighbor_counts:
         for eps in epsilons:
-            model = fit_knn_rbf(q_p[tr], q_s[tr], float(eps), int(k),
-                                kernel=kernel)
-            pred = jax.jit(jax.vmap(
-                lambda y: rbf_knn_predict(model, y)))(qp_va)
-            err = float(np.linalg.norm(np.asarray(pred) - q_s[va])
-                        / np.linalg.norm(q_s[va]))
-            log[(int(k), float(eps))] = err
-            if verbose:
-                print(f"  knn k={k} eps={eps:.4g}: err={err:.3e}")
-            if err < best[0]:
-                best = (err, (int(k), float(eps)))
+            for ridge in ridges:
+                model = fit_knn_rbf(q_p[tr], q_s[tr], float(eps),
+                                    int(k), kernel=kernel,
+                                    ridge=float(ridge))
+                pred = jax.jit(jax.vmap(
+                    lambda y: rbf_knn_predict(model, y)))(qp_va)
+                err = float(np.linalg.norm(np.asarray(pred) - q_s[va])
+                            / np.linalg.norm(q_s[va]))
+                log[(int(k), float(eps), float(ridge))] = err
+                if verbose:
+                    print(f"  knn k={k} eps={eps:.4g} "
+                          f"ridge={ridge:.1g}: err={err:.3e}")
+                if err < best[0]:
+                    best = (err, (int(k), float(eps), float(ridge)))
 
-    err, (k_best, eps_best) = best
+    err, (k_best, eps_best, ridge_best) = best
     # final fit on all data
-    model = fit_knn_rbf(q_p, q_s, eps_best, k_best, kernel=kernel)
+    model = fit_knn_rbf(q_p, q_s, eps_best, k_best, kernel=kernel,
+                        ridge=ridge_best)
     return model, {"best": {"neighbors": k_best, "epsilon": eps_best,
-                            "val_error": err},
+                            "ridge": ridge_best, "val_error": err},
                    "grid": {str(k): v for k, v in log.items()}}
 
 

@@ -409,3 +409,52 @@ class TestFusedClosures:
         np.testing.assert_allclose(np.asarray(with_f.red_coords),
                                    np.asarray(plain.red_coords),
                                    rtol=1e-11, atol=1e-13)
+
+
+class TestKNNRidge:
+    """Local-system ridge as a searched hyperparameter + the
+    mixed-precision refined solve it unlocks (closures/rbf.py)."""
+
+    def test_mixed_precision_solve_matches_f64(self):
+        """ridge >= 1e-6 routes the PD local solve through an f32
+        Cholesky with f64 residual correction; predictions must match
+        the pure-f64 factorization to f64 accuracy."""
+        from finitedifference_tpu.closures.rbf import (
+            _knn_gather,
+            _knn_local_weights,
+            fit_knn_rbf,
+        )
+        from jax.scipy.linalg import cho_factor, cho_solve
+        from finitedifference_tpu.closures.rbf import kernel_matrix
+
+        q_p, q_s = smooth_data(n_train=60)
+        model = fit_knn_rbf(q_p, q_s, 0.8, 20, kernel="gaussian",
+                            ridge=1e-5)
+        y = jnp.asarray(q_p[9] + 0.03)
+        x = model.scaler.transform(y)
+        xk, yk = _knn_gather(model, x)
+        got = np.asarray(_knn_local_weights(model, xk, yk))
+        phi = kernel_matrix(xk, xk, model.epsilon, model.kernel) \
+            + 1e-5 * jnp.eye(20, dtype=jnp.float64)
+        want = np.asarray(cho_solve(cho_factor(phi), yk))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_default_ridge_is_reference_faithful(self):
+        from finitedifference_tpu.closures.rbf import fit_knn_rbf
+
+        q_p, q_s = smooth_data()
+        model = fit_knn_rbf(q_p, q_s, 0.8, 10)
+        assert model.ridge == 1e-8
+
+    def test_search_sweeps_ridge(self):
+        from finitedifference_tpu.training.rbf_train import (
+            train_knn_rbf_search,
+        )
+
+        q_p, q_s = smooth_data(n_train=80)
+        model, log = train_knn_rbf_search(
+            q_p, q_s, epsilons=[0.5, 1.0], neighbor_counts=[10],
+            ridges=[1e-8, 1e-5], verbose=False)
+        assert "ridge" in log["best"]
+        assert model.ridge == log["best"]["ridge"]
+        assert len(log["grid"]) == 4
