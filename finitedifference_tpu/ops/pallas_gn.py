@@ -117,12 +117,18 @@ def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
 
 def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
                       solve_iters: int):
-    """System kernel + in-VMEM CG epilogue: outputs (dy, rn) directly,
-    so one Gauss-Newton iteration is ONE kernel dispatch total."""
+    """System kernel + in-VMEM CG epilogue, so one Gauss-Newton
+    iteration is ONE kernel dispatch total.
+
+    The CG runs in ROW-vector form ((1, KP) lanes — G is symmetric, so
+    p @ G == (G @ p^T)^T) and the result lands in a single (8, KP)
+    output block (row 0 = dy, row 1 lane 0 = ||Wr||): Mosaic lowers
+    full-lane row blocks reliably where (KP, 1) / (1, 1) outputs are
+    fragile."""
     base = _make_kernel(k, tile, hdx, hdy)
     f32 = jnp.float32
 
-    def kernel(p6_ref, y_ref, cp_ref, wgt_ref, dy_ref, rn_ref, acc_ref):
+    def kernel(p6_ref, y_ref, cp_ref, wgt_ref, out_ref, acc_ref):
         # accumulate the Gram extension exactly as the base kernel does,
         # writing the final copy into the scratch itself
         base(p6_ref, y_ref, cp_ref, wgt_ref, acc_ref, acc_ref)
@@ -132,22 +138,22 @@ def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
             g = acc_ref[...]
             row = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
-            # mask the residual row/col out of the solve: rows/cols >= k
+            # mask the residual row/col out of the solve: rows/cols > k
             # are zero already (zero basis lanes), row/col k carries
             # [J^T W^2 r | ||Wr||^2]
             g_s = jnp.where(jnp.logical_or(row == k, col == k),
                             f32(0.0), g)
-            rowv = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)
-            b = jnp.where(rowv == k, f32(0.0), -g[:, k:k + 1])
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
+            b = jnp.where(lane == k, f32(0.0), -g[k:k + 1, :])
 
-            x = jnp.zeros((KP, 1), f32)
+            x = jnp.zeros((1, KP), f32)
             r = b
             p = r
             rs = jnp.sum(r * r)
             tiny = f32(np.finfo(np.float32).tiny)
             for _ in range(solve_iters):
                 gp = jax.lax.dot_general(
-                    g_s, p, (((1,), (0,)), ((), ())),
+                    p, g_s, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32)
                 denom = jnp.sum(p * gp)
                 live = jnp.logical_and(rs > tiny, denom > tiny)
@@ -162,8 +168,11 @@ def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
                                  f32(0.0))
                 p = r + beta * p
                 rs = rs_new
-            dy_ref[...] = x
-            rn_ref[...] = jnp.sqrt(g[k:k + 1, k:k + 1])
+            rn_row = jnp.where(lane == 0,
+                               jnp.sqrt(g[k:k + 1, k:k + 1]), f32(0.0))
+            out_ref[0:1, :] = x
+            out_ref[1:2, :] = rn_row
+            out_ref[2:8, :] = jnp.zeros((6, KP), f32)
 
     return kernel
 
@@ -174,10 +183,10 @@ def gn_step_pallas(p6p, y, cp, wgt_p, k: int, hdx: float, hdy: float,
     """One FULLY fused Gauss-Newton iteration: system build + masked
     in-VMEM CG solve in a single kernel. Returns (dy (k,), rn scalar)."""
     with jax.enable_x64(False):
-        dy, rn = _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
-                                 tile=tile, solve_iters=solve_iters,
-                                 interpret=interpret)
-    return dy[:k, 0], rn[0, 0]
+        out = _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                              tile=tile, solve_iters=solve_iters,
+                              interpret=interpret)
+    return out[0, :k], out[1, 0]
 
 
 @functools.partial(jax.jit,
@@ -202,12 +211,9 @@ def _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, *, tile,
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((KP, 1), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((KP, 1), f32),
-                   jax.ShapeDtypeStruct((1, 1), f32)),
+        out_specs=pl.BlockSpec((8, KP), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, KP), f32),
         scratch_shapes=[pltpu.VMEM((KP, KP), f32)],
         interpret=interpret,
     )(p6p.astype(f32), y_pad, cp.astype(f32), wgt_p.astype(f32))
