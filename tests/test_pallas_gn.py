@@ -143,9 +143,55 @@ def test_pallas_hprom_unrolled(mesh_problem):
     assert int(b.total_gn_its) == int(a.total_gn_its)
 
 
+def test_gn_step_fused_matches_system_plus_cholesky(mesh_problem):
+    """One fused step (in-VMEM CG epilogue) == system kernel + host
+    Cholesky, at CG-convergence accuracy: the tight correctness anchor
+    for ls_method='fused'."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    from finitedifference_tpu.ops.pallas_gn import (
+        gn_step_pallas,
+        gn_system_pallas,
+    )
+    from finitedifference_tpu.rom_factored import (
+        precompute_factored_blocks,
+        precompute_pallas_system,
+    )
+
+    grid, mesh, sw, y0, basis_aug = mesh_problem
+    f32 = jnp.float32
+    ba = jnp.asarray(basis_aug, f32)
+    y0f = jnp.asarray(y0, f32)
+    blocks = precompute_factored_blocks(mesh, ba)
+    p6p, wgt_p = precompute_pallas_system(blocks, sw.astype(f32),
+                                          tile=8)
+    k = int(y0f.shape[0])
+    n_p = p6p.shape[1]
+    hdx = float(0.5 * DT / grid.dx)
+    hdy = float(0.5 * DT / grid.dy)
+    rng = np.random.default_rng(5)
+    cp = jnp.asarray(0.01 * rng.normal(size=(n_p, 2)), f32)
+    y = y0f + 0.01 * jnp.asarray(rng.normal(size=k), f32)
+
+    gext = np.asarray(gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy,
+                                       tile=8, interpret=True))
+    dy_ref = np.asarray(cho_solve(cho_factor(gext[:k, :k]),
+                                  -gext[:k, k]))
+    rn_ref = float(np.sqrt(gext[k, k]))
+    dy, rn = gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, tile=8,
+                            interpret=True)
+    assert abs(float(rn) - rn_ref) <= 1e-5 * rn_ref
+    scale = np.abs(dy_ref).max()
+    np.testing.assert_allclose(np.asarray(dy), dy_ref,
+                               rtol=1e-3, atol=1e-4 * scale)
+
+
 def test_pallas_hprom_fused_solve(mesh_problem):
-    """ls_method='fused' (in-VMEM CG epilogue, one kernel per GN
-    iteration) matches the two-kernel pallas path."""
+    """ls_method='fused' trajectory stays close to the two-kernel
+    pallas path. Loose tolerance: the fused path solves by CG and the
+    reference by Cholesky — a borderline stagnation-stop decision can
+    legitimately flip, so only trajectory-level agreement is required
+    (the tight per-step anchor is the test above)."""
     from finitedifference_tpu.rom_factored import (
         pallas_hprom,
         precompute_factored_blocks,
@@ -165,6 +211,7 @@ def test_pallas_hprom_fused_solve(mesh_problem):
     b = pallas_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
                      MU[0], MU[1], ls_method="fused", tile=8,
                      interpret=True)
-    np.testing.assert_allclose(np.asarray(b.red_coords),
-                               np.asarray(a.red_coords),
-                               rtol=1e-4, atol=1e-6)
+    rel = np.linalg.norm(np.asarray(b.red_coords)
+                         - np.asarray(a.red_coords)) / \
+        np.linalg.norm(np.asarray(a.red_coords))
+    assert rel < 5e-3
