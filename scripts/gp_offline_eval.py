@@ -25,6 +25,16 @@ TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--max-pairs", type=int, default=1500,
+                    help="training-pair subsample cap (split_training)")
+    ap.add_argument("--noise", type=float, nargs="+",
+                    default=[1e-8, 1e-6, 1e-4])
+    ap.add_argument("--steps", type=int, nargs="+", default=[300, 1000])
+    a = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -42,7 +52,8 @@ def main():
 
     cfg = default_config(None, None)
     grid, w0 = make_problem(cfg)
-    u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+    u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140,
+                                        max_pairs=a.max_pairs)
     basis = np.concatenate(
         (np.asarray(u_p), np.asarray(u_s)), axis=1)
 
@@ -72,12 +83,9 @@ def main():
                                     "shipped pod_gp_model.npz"), None)
 
     variants = [
-        ("noise=1e-8 steps=300 (recipe)", dict(noise=1e-8,
-                                               num_steps=300)),
-        ("noise=1e-6 steps=300", dict(noise=1e-6, num_steps=300)),
-        ("noise=1e-4 steps=300", dict(noise=1e-4, num_steps=300)),
-        ("noise=1e-6 steps=1000", dict(noise=1e-6, num_steps=1000)),
-        ("noise=1e-8 steps=1000", dict(noise=1e-8, num_steps=1000)),
+        (f"noise={nz:g} steps={st} pairs={a.max_pairs}",
+         dict(noise=nz, num_steps=st))
+        for nz in a.noise for st in a.steps
     ]
     best = None
     for tag, kw in variants:
@@ -85,8 +93,14 @@ def main():
         model = train_gp(q_p, q_s, ard=True, **kw)
         cols = score(model, f"{tag} [{time.time() - t0:.0f}s]")
         worst = max(cols)
-        if best is None or worst < best[0]:
+        # a singular K (near-duplicate pairs at tiny noise) yields NaN
+        # predictions — never select it
+        if np.isfinite(worst) and (best is None or worst < best[0]):
             best = (worst, tag, model)
+
+    if best is None:
+        print("\nno finite variant — nothing saved")
+        return
 
     print(f"\nbest by worst-point offline error: {best[1]} "
           f"({best[0]:.3f}%)")
