@@ -25,18 +25,23 @@ from finitedifference_tpu.closures.common import Closure, MinMaxScaler
 from finitedifference_tpu.precision import hi_matmul
 
 
-def matern32(xa, xb, length_scale, amplitude=1.0):
+def matern32(xa, xb, length_scale, amplitude=1.0, nu: float = 1.5):
     """k(xa, xb) = amp * (1 + sqrt(3) r) exp(-sqrt(3) r) with
-    r = ||(xa - xb) / l||. length_scale may be a scalar (the reference's
-    isotropic Matérn, POD-GP/train_gp.py:67-74) or an (n_p,) vector
-    (ARD — per-dimension scales, the fine workbench's anisotropic-RBF
-    idea applied to the GP)."""
+    r = ||(xa - xb) / l|| (nu=1.5, the reference's kernel,
+    POD-GP/train_gp.py:67-74), or the Matérn-5/2
+    amp * (1 + s + s^2/3) exp(-s), s = sqrt(5) r (nu=2.5 — sklearn's
+    Matern(nu) exposes the same choice; C^2 smoothness gives the LSPG
+    Gauss-Newton a smoother closure Jacobian). length_scale may be a
+    scalar or an (n_p,) ARD vector."""
     scaled = (xa[:, None, :] - xb[None, :, :]) / length_scale
     # safe norm: length_scale now sits inside the norm, so the ARD
     # hyper-gradient differentiates through it — d||v||/dv at v=0 is
     # NaN on the diagonal without the floor
     r2 = jnp.sum(scaled * scaled, axis=-1)
     r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-36, r2.dtype)))
+    if nu == 2.5:
+        s = jnp.sqrt(5.0) * r
+        return amplitude * (1.0 + s + s * s / 3.0) * jnp.exp(-s)
     s = jnp.sqrt(3.0) * r
     return amplitude * (1.0 + s) * jnp.exp(-s)
 
@@ -48,11 +53,12 @@ class GPModel(NamedTuple):
     amplitude: jnp.ndarray     # scalar
     noise: float
     scaler: MinMaxScaler
+    nu: float = 1.5            # Matérn smoothness (1.5 or 2.5)
 
 
-def _log_marginal_likelihood(params, x, y, noise):
+def _log_marginal_likelihood(params, x, y, noise, nu: float = 1.5):
     log_amp, log_ls = params[0], params[1:]
-    k = matern32(x, x, jnp.exp(log_ls), jnp.exp(log_amp))
+    k = matern32(x, x, jnp.exp(log_ls), jnp.exp(log_amp), nu=nu)
     k = k + noise * jnp.eye(x.shape[0], dtype=x.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
@@ -63,13 +69,14 @@ def _log_marginal_likelihood(params, x, y, noise):
         - 0.5 * n * n_out * jnp.log(2.0 * jnp.pi)
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "ard"))
+@functools.partial(jax.jit, static_argnames=("num_steps", "ard", "nu"))
 def _optimize_hypers(x, y, noise, num_steps: int = 200,
-                     learning_rate: float = 0.05, ard: bool = False):
+                     learning_rate: float = 0.05, ard: bool = False,
+                     nu: float = 1.5):
     n_ls = x.shape[1] if ard else 1
     params0 = jnp.zeros(1 + n_ls, x.dtype)   # log amp = log ls = 0
     opt = optax.adam(learning_rate)
-    loss = lambda p: -_log_marginal_likelihood(p, x, y, noise)
+    loss = lambda p: -_log_marginal_likelihood(p, x, y, noise, nu=nu)
 
     def step(carry, _):
         params, state = carry
@@ -84,7 +91,8 @@ def _optimize_hypers(x, y, noise, num_steps: int = 200,
 
 def fit_gp(q_p_train, q_s_train, scaler: MinMaxScaler | None = None,
            noise: float = 1e-8, optimize: bool = True,
-           num_steps: int = 200, ard: bool = False) -> GPModel:
+           num_steps: int = 200, ard: bool = False,
+           nu: float = 1.5) -> GPModel:
     """Fit a multi-output Matérn-3/2 GP (shared kernel across outputs,
     like sklearn's multi-output GPR). ard=True learns one length scale
     per input dimension instead of the reference's single isotropic
@@ -99,18 +107,19 @@ def fit_gp(q_p_train, q_s_train, scaler: MinMaxScaler | None = None,
 
     if optimize:
         params = _optimize_hypers(x, q_s_train, noise,
-                                  num_steps=num_steps, ard=ard)
+                                  num_steps=num_steps, ard=ard, nu=nu)
         amp = jnp.exp(params[0])
         ls = jnp.exp(params[1:]) if ard else jnp.exp(params[1])
     else:
         amp = jnp.asarray(1.0, x.dtype)
         ls = jnp.asarray(1.0, x.dtype)
 
-    k = matern32(x, x, ls, amp) + noise * jnp.eye(x.shape[0], dtype=x.dtype)
+    k = matern32(x, x, ls, amp, nu=nu) \
+        + noise * jnp.eye(x.shape[0], dtype=x.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), q_s_train)
     return GPModel(x_train=x, alpha=alpha, length_scale=ls, amplitude=amp,
-                   noise=noise, scaler=scaler)
+                   noise=noise, scaler=scaler, nu=float(nu))
 
 
 def gp_predict(model: GPModel, y):
@@ -118,7 +127,7 @@ def gp_predict(model: GPModel, y):
     hypernet2D.py:1482-1487)."""
     x = model.scaler.transform(y)
     k_vec = matern32(model.x_train, x[None, :], model.length_scale,
-                     model.amplitude)[:, 0]
+                     model.amplitude, nu=model.nu)[:, 0]
     return hi_matmul(k_vec, model.alpha)
 
 
@@ -130,9 +139,15 @@ def gp_jacobian(model: GPModel, y):
     x = model.scaler.transform(y)
     diff = x[None, :] - model.x_train            # (N, n_p)
     r = jnp.linalg.norm(diff / model.length_scale, axis=1)
-    s = jnp.sqrt(3.0) * r
-    dk = (-3.0 * model.amplitude / model.length_scale**2) \
-        * jnp.exp(-s)[:, None] * diff            # (N, n_p); ls broadcasts
+    if model.nu == 2.5:
+        s = jnp.sqrt(5.0) * r
+        # d k52 / dx = -(5/3) amp (1+s) e^{-s} diff / l^2
+        dk = (-(5.0 / 3.0) * model.amplitude / model.length_scale**2) \
+            * ((1.0 + s) * jnp.exp(-s))[:, None] * diff
+    else:
+        s = jnp.sqrt(3.0) * r
+        dk = (-3.0 * model.amplitude / model.length_scale**2) \
+            * jnp.exp(-s)[:, None] * diff        # (N, n_p); ls broadcasts
     jac_scaled = hi_matmul(model.alpha.T, dk)    # (n_s, n_p)
     return jac_scaled * model.scaler.scale_[None, :]
 
@@ -144,11 +159,19 @@ def gp_predict_and_jacobian(model: GPModel, y):
     x = model.scaler.transform(y)
     diff = x[None, :] - model.x_train            # (N, n_p)
     r = jnp.linalg.norm(diff / model.length_scale, axis=1)
-    s = jnp.sqrt(3.0) * r
-    es = jnp.exp(-s)
-    pred = hi_matmul(model.amplitude * (1.0 + s) * es, model.alpha)
-    dk = (-3.0 * model.amplitude / model.length_scale**2) \
-        * es[:, None] * diff
+    if model.nu == 2.5:
+        s = jnp.sqrt(5.0) * r
+        es = jnp.exp(-s)
+        pred = hi_matmul(
+            model.amplitude * (1.0 + s + s * s / 3.0) * es, model.alpha)
+        dk = (-(5.0 / 3.0) * model.amplitude / model.length_scale**2) \
+            * ((1.0 + s) * es)[:, None] * diff
+    else:
+        s = jnp.sqrt(3.0) * r
+        es = jnp.exp(-s)
+        pred = hi_matmul(model.amplitude * (1.0 + s) * es, model.alpha)
+        dk = (-3.0 * model.amplitude / model.length_scale**2) \
+            * es[:, None] * diff
     jac = hi_matmul(model.alpha.T, dk) * model.scaler.scale_[None, :]
     return pred, jac
 

@@ -13,7 +13,7 @@ from finitedifference_tpu.training.rbf_train import remove_duplicates
 
 
 def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
-             dedup: bool = True, ard: bool = True,
+             dedup: bool = True, ard: bool = True, nu: float = 1.5,
              on_host: bool = True, verbose: bool = False) -> GPModel:
     """ard=True (default) learns per-dimension length scales — the
     shipped 250^2 model is ARD, and ARD closed the GP-HPROM from 8.6%
@@ -23,12 +23,14 @@ def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
         from finitedifference_tpu.closures.common import run_on_host_cpu
         return run_on_host_cpu(
             train_gp, q_p, q_s, noise=noise, num_steps=num_steps,
-            dedup=dedup, ard=ard, on_host=False, verbose=verbose)
+            dedup=dedup, ard=ard, nu=nu, on_host=False,
+            verbose=verbose)
     q_p = np.asarray(q_p)
     q_s = np.asarray(q_s)
     if dedup:
         q_p, q_s = remove_duplicates(q_p, q_s)
-    model = fit_gp(q_p, q_s, noise=noise, num_steps=num_steps, ard=ard)
+    model = fit_gp(q_p, q_s, noise=noise, num_steps=num_steps, ard=ard,
+                   nu=nu)
     if verbose:
         print(f"  gp: amplitude={float(model.amplitude):.4g} "
               f"length_scale={np.round(np.asarray(model.length_scale), 4)}")
@@ -41,7 +43,7 @@ def save_gp(model: GPModel, path: str) -> None:
              alpha=np.asarray(model.alpha),
              length_scale=np.asarray(model.length_scale),
              amplitude=np.asarray(model.amplitude),
-             noise=model.noise,
+             noise=model.noise, nu=model.nu,
              scaler_scale=np.asarray(model.scaler.scale_),
              scaler_min=np.asarray(model.scaler.min_))
 
@@ -54,6 +56,7 @@ def load_gp(path: str) -> GPModel:
         length_scale=jnp.asarray(z["length_scale"]),
         amplitude=jnp.asarray(z["amplitude"]),
         noise=float(z["noise"]),
+        nu=float(z["nu"]) if "nu" in z.files else 1.5,
         scaler=MinMaxScaler(scale_=jnp.asarray(z["scaler_scale"]),
                             min_=jnp.asarray(z["scaler_min"])),
     )

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--noise", type=float, nargs="+",
                     default=[1e-8, 1e-6, 1e-4])
     ap.add_argument("--steps", type=int, nargs="+", default=[300, 1000])
+    ap.add_argument("--nu", type=float, nargs="+", default=[1.5])
     a = ap.parse_args()
 
     import jax
@@ -83,9 +84,9 @@ def main():
                                     "shipped pod_gp_model.npz"), None)
 
     variants = [
-        (f"noise={nz:g} steps={st} pairs={a.max_pairs}",
-         dict(noise=nz, num_steps=st))
-        for nz in a.noise for st in a.steps
+        (f"nu={nu} noise={nz:g} steps={st} pairs={a.max_pairs}",
+         dict(noise=nz, num_steps=st, nu=nu))
+        for nu in a.nu for nz in a.noise for st in a.steps
     ]
     best = None
     for tag, kw in variants:

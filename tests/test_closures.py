@@ -458,3 +458,55 @@ class TestKNNRidge:
         assert "ridge" in log["best"]
         assert model.ridge == log["best"]["ridge"]
         assert len(log["grid"]) == 4
+
+
+class TestMatern52:
+    """nu=2.5 GP variant (sklearn Matern(nu) analogue): analytic
+    Jacobian vs jacfwd, and fused vs separate."""
+
+    def test_jacobian_matches_jacfwd(self):
+        from finitedifference_tpu.closures.gp import (
+            fit_gp,
+            gp_jacobian,
+            gp_predict,
+        )
+
+        q_p, q_s = smooth_data()
+        model = fit_gp(q_p, q_s, optimize=True, num_steps=50, nu=2.5)
+        y = jnp.asarray(q_p[7] + 0.05)
+        jac = gp_jacobian(model, y)
+        jac_ad = jax.jacfwd(lambda z: gp_predict(model, z))(y)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_fused_matches_separate(self):
+        from finitedifference_tpu.closures.gp import (
+            fit_gp,
+            gp_closure,
+        )
+
+        q_p, q_s = smooth_data()
+        model = fit_gp(q_p, q_s, optimize=False, nu=2.5)
+        c = gp_closure(model)
+        y = jnp.asarray(q_p[3] + 0.02)
+        p, j = c.predict_and_jacobian(y)
+        np.testing.assert_allclose(np.asarray(p),
+                                   np.asarray(c.predict(y)),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(j),
+                                   np.asarray(c.jacobian(y)),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_save_load_roundtrip_nu(self, tmp_path):
+        from finitedifference_tpu.closures.gp import fit_gp
+        from finitedifference_tpu.training.gp_train import (
+            load_gp,
+            save_gp,
+        )
+
+        q_p, q_s = smooth_data()
+        model = fit_gp(q_p, q_s, optimize=False, nu=2.5)
+        path = str(tmp_path / "gp52.npz")
+        save_gp(model, path)
+        back = load_gp(path)
+        assert back.nu == 2.5
