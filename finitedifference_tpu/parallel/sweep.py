@@ -135,6 +135,85 @@ def sweep_manifold(grid: Grid2D, y0, decode, dec_jac, dt, num_steps, mus,
     return jax.vmap(run)(mus)
 
 
+def sharded_factored_hprom(grid: Grid2D, smesh, sample_weights, y0,
+                           basis_aug, dt, num_steps, mu1, mu2, *,
+                           mesh: Mesh, axis_name: str = "sp",
+                           **kwargs):
+    """ONE HPROM solve sharded across devices along the SAMPLED-CELL
+    axis (single-query scaling, complementing the mu-batch sharding of
+    sweep_hprom): each device holds a slice of the factored stencil
+    blocks and weights, evaluates its partial [W.JV | W.r]^T [W.JV | W.r],
+    and one `psum` per Gauss-Newton iteration assembles the (k+1, k+1)
+    Gram extension; y and the tiny reduced solve stay replicated. The
+    reference's fine-grid HPROM died of single-node memory
+    (BurgersFD_CleanFine/slurm-55470585.out) — this is the TPU answer:
+    the per-device working set shrinks linearly with the mesh size.
+
+    Trajectories are bitwise-independent of the device count up to f.p.
+    reduction order (equality vs the unsharded engine is tested on the
+    8-device virtual mesh).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:        # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from finitedifference_tpu.ops.sampled import SampledMesh
+    from finitedifference_tpu.rom_factored import (
+        FactoredBlocks,
+        factored_hprom,
+        precompute_factored_blocks,
+    )
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                         if a == axis_name]))
+    blocks = precompute_factored_blocks(smesh, basis_aug)
+    p6 = np.asarray(blocks.p6)
+    wgt = np.asarray(sample_weights)
+    n_s = p6.shape[1]
+    pad = (-n_s) % n_dev
+
+    def pad_n(x, value=0):
+        x = np.asarray(x)
+        return np.concatenate(
+            [x, np.full((pad,) + x.shape[1:], value, x.dtype)])
+
+    p6 = np.concatenate(
+        [p6, np.zeros((6, pad, p6.shape[2]), p6.dtype)], axis=1)
+    wgt = pad_n(wgt)                 # zero weight -> padded rows vanish
+    sm = SampledMesh(
+        sample_cells=jnp.asarray(pad_n(smesh.sample_cells)),
+        aug_cells=smesh.aug_cells,
+        pos_self=jnp.asarray(pad_n(smesh.pos_self)),
+        pos_west=jnp.asarray(pad_n(smesh.pos_west)),
+        pos_south=jnp.asarray(pad_n(smesh.pos_south)),
+        has_west=jnp.asarray(pad_n(smesh.has_west, False)),
+        has_south=jnp.asarray(pad_n(smesh.has_south, False)),
+        col_x=jnp.asarray(pad_n(smesh.col_x)),
+        is_left=jnp.asarray(pad_n(smesh.is_left, False)),
+    )
+
+    sp = P(axis_name)
+    mesh_specs = SampledMesh(
+        sample_cells=sp, aug_cells=P(), pos_self=sp, pos_west=sp,
+        pos_south=sp, has_west=sp, has_south=sp, col_x=sp, is_left=sp)
+
+    def run(sm_l, wgt_l, p6_l, y0_l):
+        res = factored_hprom(grid, sm_l, wgt_l, y0_l,
+                             FactoredBlocks(p6=p6_l), dt, num_steps,
+                             mu1, mu2, axis_name=axis_name, **kwargs)
+        return res.red_coords, res.total_gn_its
+
+    red, its = shard_map(
+        run, mesh=mesh,
+        in_specs=(mesh_specs, sp, P(None, axis_name, None), P()),
+        out_specs=(P(), P()),
+    )(sm, jnp.asarray(wgt), jnp.asarray(p6), jnp.asarray(y0))
+    from finitedifference_tpu.rom import ROMResult
+
+    return ROMResult(red_coords=red, total_gn_its=its)
+
+
 def pad_to_multiple(mus, multiple: int):
     """Pad the batch with copies of the last row to a device-count multiple
     (XLA requires equal shards). Returns (padded, original_count)."""

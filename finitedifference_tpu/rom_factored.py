@@ -80,13 +80,14 @@ def precompute_factored_blocks(mesh: SampledMesh,
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "num_steps", "max_its", "unroll_its",
-                     "ls_method"),
+                     "ls_method", "axis_name"),
 )
 def factored_hprom(grid: Grid2D, mesh, sample_weights, y0,
                    blocks: FactoredBlocks, dt, num_steps, mu1, mu2, *,
                    max_its: int = 20, relnorm_cutoff: float = 1e-5,
                    min_delta: float = 0.1, unroll_its: int = 0,
-                   ls_method: str = "normal") -> ROMResult:
+                   ls_method: str = "normal",
+                   axis_name: str | None = None) -> ROMResult:
     """HPROM time loop on the factored stencil blocks.
 
     unroll_its > 0 replaces the Gauss-Newton `lax.while_loop` with that
@@ -94,6 +95,13 @@ def factored_hprom(grid: Grid2D, mesh, sample_weights, y0,
     stopping rules freeze y, so the trajectory is identical whenever the
     dynamic loop would have stopped within the budget (the reference
     observes 2-3 GN its/step on these ROMs, BASELINE.md).
+
+    axis_name: when set, the engine runs SPMD inside `shard_map` with
+    the sampled-cell axis sharded across devices: every Gram extension
+    and residual norm is an `lax.psum` over the axis, y stays
+    replicated, and the reduced solve is redundantly replicated (it is
+    k x k — cheaper than communicating it). See
+    parallel.sweep.sharded_factored_hprom.
     """
     y0 = jnp.asarray(y0)
     dtype = y0.dtype
@@ -168,7 +176,10 @@ def factored_hprom(grid: Grid2D, mesh, sample_weights, y0,
             jnp.concatenate((ju, (wgt * ru)[:, None]), axis=1),
             jnp.concatenate((jv, (wgt * rv)[:, None]), axis=1),
         ), axis=0)                                   # (2*n_s, k+1)
-        return jnp.matmul(a.T, a, precision=hi)      # (k+1, k+1)
+        gext = jnp.matmul(a.T, a, precision=hi)      # (k+1, k+1)
+        if axis_name is not None:
+            gext = jax.lax.psum(gext, axis_name)
+        return gext
 
     def solve_ls(g, b):
         if ls_method == "normal":
@@ -219,8 +230,10 @@ def factored_hprom(grid: Grid2D, mesh, sample_weights, y0,
         yp, sp, its = carry
         cp_u, cp_v = step_const(sp)
         ru0, rv0 = residual(sp, cp_u, cp_v)
-        init_norm = jnp.sqrt(jnp.sum((wgt * ru0) ** 2)
-                             + jnp.sum((wgt * rv0) ** 2))
+        sq = jnp.sum((wgt * ru0) ** 2) + jnp.sum((wgt * rv0) ** 2)
+        if axis_name is not None:
+            sq = jax.lax.psum(sq, axis_name)
+        init_norm = jnp.sqrt(sq)
 
         carry0 = (yp, jnp.int32(0), jnp.bool_(False), init_norm,
                   init_norm, cp_u, cp_v)

@@ -199,3 +199,48 @@ class TestSpatial:
         want = oracle.implicit_trajectory(
             np.ones(grid.state_dim), [mu1, mu2], DT, 5, ops, xc)[:, -1]
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+class TestShardedFactoredHPROM:
+    def test_matches_unsharded(self, eight_devices):
+        """Sample-axis-sharded factored HPROM (one solve over 8
+        devices, psum-assembled Gram) == the unsharded engine."""
+        from finitedifference_tpu.ecsw import (
+            compute_ecsw_weights,
+            ecsw_training_matrix,
+        )
+        from finitedifference_tpu.parallel.sweep import (
+            make_sweep_mesh,
+            sharded_factored_hprom,
+        )
+        from finitedifference_tpu.rom import prepare_hprom
+        from finitedifference_tpu.rom_factored import (
+            factored_hprom,
+            precompute_factored_blocks,
+        )
+
+        grid = Grid2D(nx=10, ny=8, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=10, ny=8)
+        w0 = np.ones(grid.state_dim)
+        s = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, 15, ops,
+                                       xc)
+        basis = np.asarray(pod(s, num_modes=6, method="svd")[0])
+        c = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s[:, 1:15:3]), jnp.asarray(s[:, 0:14:3]),
+            jnp.asarray(basis), 4.25, 0.0225, DT))
+        weights = compute_ecsw_weights(c, grid, bc_w=5.0, method="nnls",
+                                       rel_err_thresh=1e-4)
+        smesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+
+        blocks = precompute_factored_blocks(smesh, basis_aug)
+        ref = factored_hprom(grid, smesh, sw, y0, blocks, DT, 12,
+                             5.0, 0.024, ls_method="normal")
+        mesh = make_sweep_mesh(eight_devices, axis_name="sp")
+        got = sharded_factored_hprom(
+            grid, smesh, sw, y0, basis_aug, DT, 12, 5.0, 0.024,
+            mesh=mesh, ls_method="normal")
+        np.testing.assert_allclose(np.asarray(got.red_coords),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(got.total_gn_its) == int(ref.total_gn_its)
