@@ -303,6 +303,22 @@ def main():
 
     from common import default_config, make_problem, setup_jax
     setup_jax(a.f32)
+
+    # survive axon tunnel outage windows exactly like bench.py: a failed
+    # registration is only recoverable from a FRESH interpreter
+    import jax
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        n = int(os.environ.get("RECORD_REEXEC", "0"))
+        if n >= 20:
+            raise
+        print(f"record: no usable backend ({str(e)[:120]}); "
+              f"re-exec attempt {n + 1}/20 in 120s", flush=True)
+        time.sleep(120)
+        os.environ["RECORD_REEXEC"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     cfg = default_config(a.num_cells, a.num_steps)
     grid, w0 = make_problem(cfg)
 
