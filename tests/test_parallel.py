@@ -244,3 +244,34 @@ class TestShardedFactoredHPROM:
                                    np.asarray(ref.red_coords),
                                    rtol=1e-9, atol=1e-11)
         assert int(got.total_gn_its) == int(ref.total_gn_its)
+
+    def test_full_mesh_unit_weights_is_sharded_prom(self, eight_devices):
+        """Unit weights on ALL cells turn the sharded factored engine
+        into a row-sharded LSPG PROM (multi-chip PROM for the fine-grid
+        memory wall): must match lspg_prom."""
+        from finitedifference_tpu.parallel.sweep import (
+            make_sweep_mesh,
+            sharded_factored_hprom,
+        )
+        from finitedifference_tpu.rom import lspg_prom, prepare_hprom
+
+        grid = Grid2D(nx=10, ny=8, x_up=100.0, y_up=100.0)
+        ops, xc = oracle.make_problem(nx=10, ny=8)
+        w0 = np.ones(grid.state_dim)
+        s = oracle.implicit_trajectory(w0, [4.25, 0.0225], DT, 15, ops,
+                                       xc)
+        basis = np.asarray(pod(s, num_modes=6, method="svd")[0])
+        weights = np.ones(grid.n_cells)
+        smesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+
+        ref = lspg_prom(grid, jnp.asarray(w0), DT, 10, 5.0, 0.024,
+                        jnp.asarray(basis),
+                        ls_method="normal").red_coords
+        mesh = make_sweep_mesh(eight_devices, axis_name="sp")
+        got = sharded_factored_hprom(
+            grid, smesh, sw, y0, basis_aug, DT, 10, 5.0, 0.024,
+            mesh=mesh, ls_method="normal")
+        np.testing.assert_allclose(np.asarray(got.red_coords),
+                                   np.asarray(ref),
+                                   rtol=1e-9, atol=1e-11)
