@@ -89,6 +89,96 @@ def _optimize_hypers(x, y, noise, num_steps: int = 200,
     return params
 
 
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def _optimize_mode_scales(eigvals, ytilde, params0, num_steps: int = 200,
+                          learning_rate: float = 0.05):
+    """Per-output (amplitude, noise) LML maximization in the eigenbasis
+    of the shared unit-amplitude kernel.
+
+    With K = Q diag(lam) Q^T and ytilde = Q^T y_j, mode j's kernel
+    a_j K + n_j I shares the eigenvectors, so its exact log marginal
+    likelihood is O(N) per evaluation:
+
+        L_j = -1/2 sum_i yt_i^2/(a lam_i + n)
+              -1/2 sum_i log(a lam_i + n) - N/2 log 2pi.
+
+    Optimizes (log a_j, log n_j) for every output with one vmapped Adam
+    scan — the trick that makes a per-mode GP family tractable where the
+    reference fits 140 independent sklearn GPRs
+    (POD-GP/compute_gp_models.py)."""
+    opt = optax.adam(learning_rate)
+
+    def lml(p, yt):
+        d = jnp.exp(p[0]) * eigvals + jnp.exp(p[1]) + 1e-12
+        return -0.5 * jnp.sum(yt * yt / d) - 0.5 * jnp.sum(jnp.log(d))
+
+    def one_mode(yt, p0):
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(lambda q: -lml(q, yt))(p)
+            up, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, up), s), None
+        (p, _), _ = jax.lax.scan(step, (p0, opt.init(p0)), None,
+                                 length=num_steps)
+        return p
+
+    return jax.vmap(one_mode)(ytilde.T, params0)
+
+
+def fit_gp_per_mode(q_p_train, q_s_train,
+                    scaler: MinMaxScaler | None = None,
+                    noise: float = 1e-6, optimize: bool = True,
+                    num_steps: int = 200, ard: bool = True,
+                    nu: float = 1.5) -> GPModel:
+    """Per-mode amplitude/noise GP with shared ARD length scales.
+
+    The shared-kernel multi-output fit (fit_gp) applies one (amplitude,
+    noise) pair to secondary coordinates whose magnitudes span orders of
+    magnitude, so small-magnitude modes are effectively over-smoothed.
+    This variant keeps the shared length scales (one kernel geometry),
+    eigendecomposes the unit kernel once, and gives every output its own
+    exactly-optimized (a_j, n_j) — then folds a_j into alpha so the
+    result is an ordinary GPModel (amplitude 1) and the online closure
+    is unchanged. Middle ground between fit_gp and the reference's
+    fully independent per-mode GPs (POD-GP/compute_gp_models.py)."""
+    from finitedifference_tpu.closures.common import fit_minmax
+
+    q_p_train = jnp.asarray(q_p_train)
+    y = jnp.asarray(q_s_train)
+    if scaler is None:
+        scaler = fit_minmax(np.asarray(q_p_train))
+    x = scaler.transform(q_p_train)
+
+    shared = _optimize_hypers(x, y, noise, num_steps=num_steps,
+                              ard=ard, nu=nu) if optimize \
+        else jnp.zeros(1 + (x.shape[1] if ard else 1), x.dtype)
+    amp0, ls = jnp.exp(shared[0]), jnp.exp(shared[1:])
+    if not ard:
+        ls = ls[0]
+
+    k_unit = matern32(x, x, ls, 1.0, nu=nu)
+    eigvals, q = jnp.linalg.eigh(k_unit)
+    eigvals = jnp.maximum(eigvals, 0.0)
+    ytilde = hi_matmul(q.T, y)                       # (N, n_s)
+
+    params0 = jnp.tile(
+        jnp.array([jnp.log(amp0), jnp.log(jnp.asarray(noise, x.dtype))]),
+        (y.shape[1], 1)).astype(x.dtype)
+    params = _optimize_mode_scales(eigvals, ytilde, params0,
+                                   num_steps=num_steps)
+    amps = jnp.exp(params[:, 0])                     # (n_s,)
+    noises = jnp.exp(params[:, 1])                   # (n_s,)
+
+    # alpha_j = Q (a_j lam + n_j)^{-1} ytilde_j; predict uses the unit
+    # kernel vector, so fold a_j in: pred_j = a_j k_u^T alpha_j.
+    denom = amps[None, :] * eigvals[:, None] + noises[None, :] + 1e-12
+    alpha = hi_matmul(q, ytilde / denom) * amps[None, :]
+    return GPModel(x_train=x, alpha=alpha, length_scale=ls,
+                   amplitude=jnp.asarray(1.0, x.dtype),
+                   noise=float(jnp.median(noises)), scaler=scaler,
+                   nu=float(nu))
+
+
 def fit_gp(q_p_train, q_s_train, scaler: MinMaxScaler | None = None,
            noise: float = 1e-8, optimize: bool = True,
            num_steps: int = 200, ard: bool = False,
@@ -176,20 +266,133 @@ def gp_predict_and_jacobian(model: GPModel, y):
     return pred, jac
 
 
-def gp_closure(model: GPModel) -> Closure:
+class PerModeGPModel(NamedTuple):
+    """Fully independent per-output GPs (role of the reference's
+    POD-GP/compute_gp_models.py, which pickles one sklearn GPR per
+    secondary mode): each output owns its ARD length scales and
+    amplitude. Stored batched so the online closure is one fused
+    einsum, not n_s kernel calls."""
+    x_train: jnp.ndarray       # (N, n_p) scaled inputs
+    alpha: jnp.ndarray         # (N, n_s), column j = K_j^{-1} y_j
+    length_scale: jnp.ndarray  # (n_s, n_p) per-mode ARD scales
+    amplitude: jnp.ndarray     # (n_s,)
+    noise: float
+    scaler: MinMaxScaler
+    nu: float = 1.5
+
+
+def fit_gp_full_per_mode(q_p_train, q_s_train,
+                         scaler: MinMaxScaler | None = None,
+                         noise: float = 1e-6, num_steps: int = 150,
+                         nu: float = 1.5,
+                         mode_chunk: int = 8) -> PerModeGPModel:
+    """Fit one ARD GP per output mode (the reference's per-mode family,
+    POD-GP/compute_gp_models.py) as a single batched device program:
+    lax.map over chunks of modes, each chunk vmapping the jitted Adam
+    hyperopt — bounded memory (chunk x N x N kernels) instead of 140
+    concurrent Cholesky buffers."""
+    from finitedifference_tpu.closures.common import fit_minmax
+
+    q_p_train = jnp.asarray(q_p_train)
+    y = jnp.asarray(q_s_train)
+    if scaler is None:
+        scaler = fit_minmax(np.asarray(q_p_train))
+    x = scaler.transform(q_p_train)
+    n_s = y.shape[1]
+
+    def fit_one(yj):
+        params = _optimize_hypers(x, yj[:, None], noise,
+                                  num_steps=num_steps, ard=True, nu=nu)
+        amp, ls = jnp.exp(params[0]), jnp.exp(params[1:])
+        k = matern32(x, x, ls, amp, nu=nu) \
+            + noise * jnp.eye(x.shape[0], dtype=x.dtype)
+        chol = jnp.linalg.cholesky(k)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), yj[:, None])
+        return alpha[:, 0], ls, amp
+
+    # pad the mode axis to a chunk multiple so lax.map sees equal chunks
+    pad = (-n_s) % mode_chunk
+    y_pad = jnp.concatenate([y, jnp.zeros((y.shape[0], pad), y.dtype)],
+                            axis=1) if pad else y
+    cols = y_pad.T.reshape(-1, mode_chunk, y.shape[0])
+    alphas, lss, amps = jax.lax.map(jax.vmap(fit_one), cols)
+    alphas = alphas.reshape(-1, y.shape[0])[:n_s]
+    return PerModeGPModel(
+        x_train=x, alpha=alphas.T,
+        length_scale=lss.reshape(-1, x.shape[1])[:n_s],
+        amplitude=amps.reshape(-1)[:n_s],
+        noise=noise, scaler=scaler, nu=float(nu))
+
+
+def _per_mode_kernel_terms(model: PerModeGPModel, x):
+    """Shared geometry for the batched per-mode closure: per-mode scaled
+    distances s (N, n_s) and the raw input differences diff (N, n_p)."""
+    diff = x[None, :] - model.x_train                    # (N, n_p)
+    inv_ls2 = 1.0 / (model.length_scale ** 2)            # (n_s, n_p)
+    r2 = hi_matmul(diff * diff, inv_ls2.T)                # (N, n_s)
+    r = jnp.sqrt(jnp.maximum(r2, jnp.asarray(1e-36, r2.dtype)))
+    s = (jnp.sqrt(5.0) if model.nu == 2.5 else jnp.sqrt(3.0)) * r
+    return diff, inv_ls2, s
+
+
+def per_mode_gp_predict(model: PerModeGPModel, y):
+    """pred_j = sum_i k_j(x, X_i) alpha_ij — all modes in one fused
+    elementwise + reduction (reference: a Python loop over per-mode
+    GPR.predict calls, compute_gp_models.py)."""
+    x = model.scaler.transform(y)
+    _, _, s = _per_mode_kernel_terms(model, x)
+    poly = (1.0 + s + s * s / 3.0) if model.nu == 2.5 else (1.0 + s)
+    k = poly * jnp.exp(-s)                               # (N, n_s)
+    return model.amplitude * jnp.sum(k * model.alpha, axis=0)
+
+
+def per_mode_gp_predict_and_jacobian(model: PerModeGPModel, y):
+    """Fused batched value + Jacobian. For Matérn-3/2,
+    dk_j/dx = -3 a_j e^{-s} (x - X_i) / l_j^2; for 5/2,
+    dk_j/dx = -(5/3) a_j (1+s) e^{-s} (x - X_i) / l_j^2. The mode-wise
+    contraction is one einsum over the training axis."""
+    x = model.scaler.transform(y)
+    diff, inv_ls2, s = _per_mode_kernel_terms(model, x)
+    es = jnp.exp(-s)                                     # (N, n_s)
+    if model.nu == 2.5:
+        pred = model.amplitude * jnp.sum(
+            (1.0 + s + s * s / 3.0) * es * model.alpha, axis=0)
+        w = -(5.0 / 3.0) * (1.0 + s) * es * model.alpha  # (N, n_s)
+    else:
+        pred = model.amplitude * jnp.sum((1.0 + s) * es * model.alpha,
+                                         axis=0)
+        w = -3.0 * es * model.alpha
+    # jac[j, p] = a_j inv_ls2[j, p] sum_i w_ij diff_ip
+    jac = jnp.einsum("ij,ip->jp", w, diff,
+                     preferred_element_type=w.dtype) * inv_ls2
+    jac = model.amplitude[:, None] * jac
+    return pred, jac * model.scaler.scale_[None, :]
+
+
+def per_mode_gp_jacobian(model: PerModeGPModel, y):
+    return per_mode_gp_predict_and_jacobian(model, y)[1]
+
+
+def gp_closure(model) -> Closure:
     """Precision bridge (see closures/rbf.py::global_rbf_closure): the
     k-vector @ alpha contraction cancels heavily; it runs at the model
-    dtype (f64 under x64) independent of the solver dtype."""
+    dtype (f64 under x64) independent of the solver dtype. Dispatches on
+    the model type: shared-kernel GPModel or batched PerModeGPModel."""
     cd = jnp.asarray(model.alpha).dtype
+    per_mode = isinstance(model, PerModeGPModel)
+    f_pred = per_mode_gp_predict if per_mode else gp_predict
+    f_jac = per_mode_gp_jacobian if per_mode else gp_jacobian
+    f_both = per_mode_gp_predict_and_jacobian if per_mode \
+        else gp_predict_and_jacobian
 
     def predict(y):
-        return gp_predict(model, y.astype(cd)).astype(y.dtype)
+        return f_pred(model, y.astype(cd)).astype(y.dtype)
 
     def jacobian(y):
-        return gp_jacobian(model, y.astype(cd)).astype(y.dtype)
+        return f_jac(model, y.astype(cd)).astype(y.dtype)
 
     def both(y):
-        p, j = gp_predict_and_jacobian(model, y.astype(cd))
+        p, j = f_both(model, y.astype(cd))
         return p.astype(y.dtype), j.astype(y.dtype)
 
     return Closure(predict=predict, jacobian=jacobian,

@@ -34,6 +34,10 @@ def main():
                     default=[1e-8, 1e-6, 1e-4])
     ap.add_argument("--steps", type=int, nargs="+", default=[300, 1000])
     ap.add_argument("--nu", type=float, nargs="+", default=[1.5])
+    ap.add_argument("--per-mode", nargs="+", default=["none"],
+                    choices=["none", "scales", "full"],
+                    help="output-mode treatments to sweep "
+                         "(training/gp_train.py::train_gp)")
     a = ap.parse_args()
 
     import jax
@@ -84,9 +88,10 @@ def main():
                                     "shipped pod_gp_model.npz"), None)
 
     variants = [
-        (f"nu={nu} noise={nz:g} steps={st} pairs={a.max_pairs}",
-         dict(noise=nz, num_steps=st, nu=nu))
+        (f"nu={nu} noise={nz:g} steps={st} pm={pm} pairs={a.max_pairs}",
+         dict(noise=nz, num_steps=st, nu=nu, per_mode=pm))
         for nu in a.nu for nz in a.noise for st in a.steps
+        for pm in a.per_mode
     ]
     best = None
     for tag, kw in variants:

@@ -191,6 +191,102 @@ class TestGP:
         assert e_opt <= e_raw * 1.5  # optimized at least comparable
 
 
+class TestPerModeGP:
+    def _hetero_data(self, n_train=80, n_test=30, seed=0):
+        """Outputs with magnitudes spanning 5 orders and different
+        active input dimensions — the regime where one shared kernel
+        over-smooths small modes (reference fits one GPR per mode,
+        POD-GP/compute_gp_models.py)."""
+        rng = np.random.default_rng(seed)
+        f = lambda x: np.stack(
+            [10.0 * np.sin(x[:, 0]), 0.01 * np.cos(2.0 * x[:, 1]),
+             x[:, 2] ** 2, 1e-4 * x[:, 0] * x[:, 1],
+             np.tanh(x).sum(axis=1)], axis=1)
+        q_p = rng.normal(size=(n_train, 3))
+        te_p = rng.normal(size=(n_test, 3))
+        return q_p, f(q_p), te_p, f(te_p)
+
+    def test_full_per_mode_beats_shared_on_heterogeneous_outputs(self):
+        from finitedifference_tpu.closures.gp import (
+            fit_gp_full_per_mode, per_mode_gp_predict)
+        q_p, q_s, te_p, te_s = self._hetero_data()
+        shared = fit_gp(q_p, q_s, num_steps=150, ard=True, noise=1e-6)
+        perm = fit_gp_full_per_mode(q_p, q_s, num_steps=150, noise=1e-6,
+                                    mode_chunk=2)
+        scale = np.abs(te_s).max(axis=0)
+
+        def err(pred_fn, model):
+            pred = np.stack([np.asarray(pred_fn(model, jnp.asarray(x)))
+                             for x in te_p])
+            return np.linalg.norm((pred - te_s) / scale)
+
+        assert perm.length_scale.shape == (5, 3)
+        assert err(per_mode_gp_predict, perm) \
+            < 0.7 * err(gp_predict, shared)
+
+    def test_per_mode_jacobian_matches_jacfwd(self):
+        from finitedifference_tpu.closures.gp import (
+            fit_gp_full_per_mode, per_mode_gp_jacobian,
+            per_mode_gp_predict)
+        for nu in (1.5, 2.5):
+            q_p, q_s, te_p, _ = self._hetero_data(n_train=50)
+            model = fit_gp_full_per_mode(q_p, q_s, num_steps=40,
+                                         noise=1e-6, nu=nu,
+                                         mode_chunk=3)
+            y = jnp.asarray(te_p[0])
+            jac = per_mode_gp_jacobian(model, y)
+            jac_ad = jax.jacfwd(
+                lambda z: per_mode_gp_predict(model, z))(y)
+            np.testing.assert_allclose(np.asarray(jac),
+                                       np.asarray(jac_ad),
+                                       rtol=1e-8, atol=1e-11)
+
+    def test_per_mode_scales_returns_plain_gpmodel(self):
+        """The eigenbasis (amp, noise)-per-mode fit folds back into an
+        ordinary GPModel (amplitude 1) so the online closure is
+        unchanged; it should track training data at least as well as
+        the shared fit on heterogeneous outputs."""
+        from finitedifference_tpu.closures.gp import (
+            GPModel, fit_gp_per_mode)
+        q_p, q_s, _, _ = self._hetero_data()
+        m = fit_gp_per_mode(q_p, q_s, num_steps=150, noise=1e-6)
+        assert isinstance(m, GPModel)
+        assert float(m.amplitude) == 1.0
+        pred = np.stack([np.asarray(gp_predict(m, jnp.asarray(x)))
+                         for x in q_p[:20]])
+        scale = np.abs(q_s).max(axis=0)
+        assert np.linalg.norm((pred - q_s[:20]) / scale) \
+            / np.sqrt(20 * q_s.shape[1]) < 0.05
+
+    def test_save_load_roundtrip_per_mode(self, tmp_path):
+        from finitedifference_tpu.closures.gp import (
+            fit_gp_full_per_mode, per_mode_gp_predict)
+        from finitedifference_tpu.training.gp_train import load_gp, save_gp
+        q_p, q_s, te_p, _ = self._hetero_data(n_train=40)
+        model = fit_gp_full_per_mode(q_p, q_s, num_steps=30, noise=1e-6)
+        path = str(tmp_path / "gp_pm.npz")
+        save_gp(model, path)
+        back = load_gp(path)
+        assert type(back).__name__ == "PerModeGPModel"
+        y = jnp.asarray(te_p[0])
+        np.testing.assert_allclose(
+            np.asarray(per_mode_gp_predict(model, y)),
+            np.asarray(per_mode_gp_predict(back, y)), rtol=1e-12)
+
+    def test_closure_dispatch_fused_matches_separate(self):
+        from finitedifference_tpu.closures.gp import (
+            fit_gp_full_per_mode, gp_closure)
+        q_p, q_s, te_p, _ = self._hetero_data(n_train=40)
+        model = fit_gp_full_per_mode(q_p, q_s, num_steps=30, noise=1e-6)
+        clo = gp_closure(model)
+        y = jnp.asarray(te_p[1])
+        p, j = clo.predict_and_jacobian(y)
+        np.testing.assert_allclose(np.asarray(p),
+                                   np.asarray(clo.predict(y)), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(j),
+                                   np.asarray(clo.jacobian(y)), rtol=1e-12)
+
+
 class TestRNM:
     def test_shapes_and_jacobian(self):
         module, params = init_rnm(q1_size=4, q2_size=9)
