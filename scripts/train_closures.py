@@ -27,9 +27,17 @@ p = argparse.ArgumentParser()
 p.add_argument("--retrain", action="store_true")
 p.add_argument("--skip", nargs="*", default=[],
                choices=["rbf", "rnm", "gp"])
+p.add_argument("--num-cells", type=int, default=None,
+               help="grid resolution (default: the 250^2 workbench); "
+                    "artifacts get the res_path suffix, mirroring the "
+                    "reference's per-resolution directory trees")
+p.add_argument("--gp-stride", type=int, default=1,
+               help="training-pair stride for the GP fit")
 args = p.parse_args()
 
-cfg = default_config()
+from common import res_path  # noqa: E402
+
+cfg = default_config(args.num_cells)
 grid, w0 = make_problem(cfg)
 
 t0 = time.time()
@@ -41,39 +49,43 @@ if "rbf" not in args.skip:
     from finitedifference_tpu.training.rbf_train import (
         save_global_rbf, train_global_rbf)
 
-    if args.retrain or not os.path.exists("pod_rbf_global_model.npz"):
+    rbf_path = res_path(cfg, "pod_rbf_global_model.npz")
+    if args.retrain or not os.path.exists(rbf_path):
         t0 = time.time()
         model, log = train_global_rbf(q_p, q_s, seed=cfg.seed, verbose=True)
         print(f"global-RBF grid search best: {log['best']} "
               f"({time.time() - t0:.1f}s)", flush=True)
-        save_global_rbf(model, "pod_rbf_global_model.npz")
+        save_global_rbf(model, rbf_path)
 
 if "rnm" not in args.skip:
     from finitedifference_tpu.training.rnm_train import (
         project_snapshots, train_rnm)
     from finitedifference_tpu.snapshots import collect_snapshots
 
-    if args.retrain or not os.path.exists("rnm_model.msgpack"):
+    rnm_path = res_path(cfg, "rnm_model.msgpack")
+    if args.retrain or not os.path.exists(rnm_path):
         # the MLP regression is cheap: use ALL projected pairs
         snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
                                   cfg.num_steps, snap_folder=cfg.snap_folder)
-        basis = np.load("basis.npy")
+        basis = np.load(res_path(cfg, "basis.npy"))
         qp_all, qs_all = project_snapshots(basis, snaps.T, 10, 140)
         del snaps
         t0 = time.time()
         module, params, mon = train_rnm(
             qp_all, qs_all, batch_size=cfg.batch_size,
             train_frac=cfg.train_frac, seed=cfg.seed,
-            model_path="rnm_model.msgpack", verbose=True)
+            model_path=rnm_path, verbose=True)
         print(f"RNM trained in {time.time() - t0:.1f}s", flush=True)
 
 if "gp" not in args.skip:
     from finitedifference_tpu.training.gp_train import save_gp, train_gp
 
-    if args.retrain or not os.path.exists("pod_gp_model.npz"):
+    gp_path = res_path(cfg, "pod_gp_model.npz")
+    if args.retrain or not os.path.exists(gp_path):
         t0 = time.time()
-        model = train_gp(q_p[::4], q_s[::4], verbose=True)
+        s = args.gp_stride
+        model = train_gp(q_p[::s], q_s[::s], verbose=True)
         print(f"GP trained in {time.time() - t0:.1f}s", flush=True)
-        save_gp(model, "pod_gp_model.npz")
+        save_gp(model, gp_path)
 
 print("CLOSURE TRAINING DONE")
