@@ -156,13 +156,15 @@ def inviscid_burgers_implicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "grid", "num_steps", "max_its", "use_pallas",
-                     "solve_dtype", "snaps_dtype", "block"),
+                     "solve_dtype", "snaps_dtype", "block",
+                     "extrapolate_guess"),
 )
 def inviscid_burgers_implicit2d_skewed(
         grid: Grid2D, w0, dt, num_steps, mu1, mu2, *,
         max_its: int = 100, relnorm_cutoff: float | None = None,
         use_pallas: bool | None = None, solve_dtype=None,
-        snaps_dtype=None, block: int = 128) -> FOMResult:
+        snaps_dtype=None, block: int = 128,
+        extrapolate_guess: bool = False) -> FOMResult:
     """Fast implicit FOM: the whole integration in skewed coordinates.
 
     The triangular solve consumes the state directly (no per-iteration
@@ -173,6 +175,13 @@ def inviscid_burgers_implicit2d_skewed(
 
     Semantics match inviscid_burgers_implicit2d (same stopping rules);
     returns unskewed snapshots.
+
+    extrapolate_guess=True starts Newton from the linear predictor
+    2 w_n - w_{n-1} instead of the reference's w_n (hypernet2D.py's
+    Newton always starts at the previous state). The converged solution
+    is unchanged — init_norm and the relnorm cutoff stay defined at the
+    step-start state — but the predictor's O(dt^2) initial residual
+    saves roughly one Newton iteration per step.
     """
     from finitedifference_tpu.ops import skewed as sk
     from finitedifference_tpu.ops.pallas_wavefront import (
@@ -217,7 +226,7 @@ def inviscid_burgers_implicit2d_skewed(
     def norm2(ru, rv):
         return jnp.sqrt(jnp.sum(ru * ru) + jnp.sum(rv * rv))
 
-    def newton(up, vp):
+    def newton(up, vp, ug, vg):
         r0u, r0v = res(up, vp, up, vp)
         init_norm = norm2(r0u, r0v)
 
@@ -240,18 +249,24 @@ def inviscid_burgers_implicit2d_skewed(
         big = jnp.asarray(jnp.inf, dtype)
         u, v, it, done, rn, _ = jax.lax.while_loop(
             cond, body,
-            (up, vp, jnp.int32(0), jnp.bool_(False), init_norm, big))
+            (ug, vg, jnp.int32(0), jnp.bool_(False), init_norm, big))
         return u, v, it - done.astype(jnp.int32), rn / init_norm
 
     def step(carry, _):
-        up, vp, its, worst = carry
-        u, v, nits, rel = newton(up, vp)
-        return (u, v, its + nits, jnp.maximum(worst, rel)), \
+        up, vp, um, vm, its, worst = carry
+        if extrapolate_guess:
+            # predictor 2 w_n - w_{n-1}, masked to the physical cells
+            ug = valid * (2.0 * up - um)
+            vg = valid * (2.0 * vp - vm)
+        else:
+            ug, vg = up, vp
+        u, v, nits, rel = newton(up, vp, ug, vg)
+        return (u, v, up, vp, its + nits, jnp.maximum(worst, rel)), \
             (u.astype(sd), v.astype(sd))
 
-    (_, _, total_its, worst), (us, vs) = jax.lax.scan(
-        step, (su0, sv0, jnp.int32(0), jnp.zeros((), dtype)), None,
-        length=num_steps)
+    (_, _, _, _, total_its, worst), (us, vs) = jax.lax.scan(
+        step, (su0, sv0, su0, sv0, jnp.int32(0), jnp.zeros((), dtype)),
+        None, length=num_steps)
 
     # unskew the whole trajectory in one vectorized gather
     us = jnp.concatenate((su0.astype(sd)[None], us), axis=0)

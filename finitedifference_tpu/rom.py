@@ -41,12 +41,13 @@ class ROMResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "num_steps", "max_its", "ls_dtype",
-                     "ls_method"),
+                     "ls_method", "extrapolate_guess"),
 )
 def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
               *, max_its: int = 20, relnorm_cutoff: float = 1e-5,
               min_delta: float = 0.1, ls_dtype=None,
-              ls_method: str = "qr") -> ROMResult:
+              ls_method: str = "qr",
+              extrapolate_guess: bool = False) -> ROMResult:
     """LSPG PROM with a linear POD basis (reference
     inviscid_burgers_implicit2D_LSPG, hypernet2D.py:133-200).
 
@@ -67,19 +68,21 @@ def lspg_prom(grid: Grid2D, w0, dt, num_steps, mu1, mu2, basis,
     jac_apply = lambda w, v: jacobian_times_basis(w, v, dt, grid)
 
     def step(carry, _):
-        yp, wp, its = carry
+        yp, ym, wp, its = carry
+        # linear predictor 2 y_n - y_{n-1} (opt-in; see ecsw_hprom)
+        yg = 2.0 * yp - ym if extrapolate_guess else yp
         res_fn = lambda w: burgers_residual_flat(
             w, wp, mu1, mu2, dt, grid, src, lbc)
-        out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yp,
+        out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yg,
                            max_its=max_its, relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
                            ls_method=ls_method, w0=wp)
         w = decode(out.y)
-        return (out.y, w, its + out.num_its), out.y
+        return (out.y, yp, w, its + out.num_its), out.y
 
     w0p = hi_matmul(basis, y0)
-    (_, _, its), ys = jax.lax.scan(
-        step, (y0, w0p, jnp.int32(0)), None, length=num_steps)
+    (_, _, _, its), ys = jax.lax.scan(
+        step, (y0, y0, w0p, jnp.int32(0)), None, length=num_steps)
     red = jnp.concatenate((y0[None, :], ys), axis=0).T
     return ROMResult(red_coords=red, total_gn_its=its)
 
@@ -92,13 +95,14 @@ def reconstruct(basis, red_coords) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "num_steps", "max_its", "ls_dtype",
-                     "ls_method"),
+                     "ls_method", "extrapolate_guess"),
 )
 def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
                num_steps, mu1, mu2, *, max_its: int = 20,
                relnorm_cutoff: float = 1e-5,
                min_delta: float = 0.1, ls_dtype=None,
-               ls_method: str = "qr") -> ROMResult:
+               ls_method: str = "qr",
+               extrapolate_guess: bool = False) -> ROMResult:
     """HPROM: LSPG on the ECSW sampled mesh (reference
     inviscid_burgers_ecsw_fixed, hypernet2D.py:202-273).
 
@@ -131,20 +135,25 @@ def ecsw_hprom(grid: Grid2D, mesh, sample_weights, y0, basis_aug, dt,
         w, v, dt, grid, mesh)
 
     def step(carry, _):
-        yp, wp, its = carry
+        yp, ym, wp, its = carry
+        # linear predictor 2 y_n - y_{n-1} (see fom.py's
+        # extrapolate_guess): note the GN init_norm — and therefore the
+        # reference's relative stopping rule — is taken AT the guess, so
+        # this is opt-in; the reference always starts from y_n
+        yg = 2.0 * yp - ym if extrapolate_guess else yp
         res_fn = lambda w: sampled_residual(
             w, wp, mu1, mu2, dt, grid, mesh, src, lbc)
-        out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yp,
+        out = gauss_newton(decode, dec_jac, res_fn, jac_apply, yg,
                            weights=wgt, max_its=max_its,
                            relnorm_cutoff=relnorm_cutoff,
                            min_delta=min_delta, ls_dtype=ls_dtype,
                            ls_method=ls_method, w0=wp)
         w = decode(out.y)
-        return (out.y, w, its + out.num_its), out.y
+        return (out.y, yp, w, its + out.num_its), out.y
 
     w0_aug = hi_matmul(basis_aug, y0)
-    (_, _, its), ys = jax.lax.scan(
-        step, (y0, w0_aug, jnp.int32(0)), None, length=num_steps)
+    (_, _, _, its), ys = jax.lax.scan(
+        step, (y0, y0, w0_aug, jnp.int32(0)), None, length=num_steps)
     red = jnp.concatenate((y0[None, :], ys), axis=0).T
     return ROMResult(red_coords=red, total_gn_its=its)
 

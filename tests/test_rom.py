@@ -353,3 +353,22 @@ class TestFactoredHPROM:
         np.testing.assert_allclose(np.asarray(a.red_coords),
                                    np.asarray(b.red_coords),
                                    rtol=1e-8, atol=1e-10)
+
+
+class TestExtrapolatedGuessROM:
+    def test_prom_and_hprom_flags_track_baseline(self):
+        """extrapolate_guess starts GN from 2 y_n - y_{n-1}. Unlike the
+        FOM's Newton (cutoff anchored at the step-start residual), the
+        GN init_norm IS the guess residual, so iteration counts and
+        trajectories may differ within solver tolerance — the flag is
+        opt-in and must stay near the reference trajectory."""
+        grid, ops, xc, w0, basis = setup_problem(k=12)
+        steps = 15
+        base = lspg_prom(grid, jnp.asarray(w0), DT, steps, MU[0], MU[1],
+                         jnp.asarray(basis))
+        extr = lspg_prom(grid, jnp.asarray(w0), DT, steps, MU[0], MU[1],
+                         jnp.asarray(basis), extrapolate_guess=True)
+        rel = np.linalg.norm(np.asarray(extr.red_coords)
+                             - np.asarray(base.red_coords)) / \
+            np.linalg.norm(np.asarray(base.red_coords))
+        assert rel < 1e-3

@@ -167,3 +167,23 @@ class TestSweepSkewedEngine:
                          use_pallas=False)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(std),
                                    rtol=1e-12, atol=1e-13)
+
+
+class TestExtrapolatedGuess:
+    def test_same_trajectory_fewer_newton_its(self):
+        """The linear predictor 2 w_n - w_{n-1} changes only the Newton
+        START point; init_norm and the relative cutoff stay defined at
+        the step-start state, so the converged trajectory is unchanged
+        while the O(dt^2) initial residual saves iterations."""
+        grid = Grid2D(nx=32, ny=32, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        base = inviscid_burgers_implicit2d_skewed(
+            grid, w0, DT, 60, MU[0], MU[1], use_pallas=False)
+        extr = inviscid_burgers_implicit2d_skewed(
+            grid, w0, DT, 60, MU[0], MU[1], use_pallas=False,
+            extrapolate_guess=True)
+        rel = np.linalg.norm(np.asarray(extr.snaps)
+                             - np.asarray(base.snaps)) / \
+            np.linalg.norm(np.asarray(base.snaps))
+        assert rel < 1e-12
+        assert int(extr.total_newton_its) < int(base.total_newton_its)
