@@ -395,6 +395,18 @@ def rom_metrics(dt, steps=500):
             round(steps / el, 1)
         _stderr(f"bench: pallas HPROM fused-solve unroll3: {el:.3f}s "
                 f"/ {steps} steps")
+
+        # whole-trajectory kernel: ONE dispatch for all 500 steps
+        # (ops/pallas_gn.py::_make_traj_kernel) — the single-run
+        # latency-race engine (VERDICT r2 #4)
+        from finitedifference_tpu.rom_factored import pallas_traj_hprom
+        el = timed(lambda: float(jnp.sum(pallas_traj_hprom(
+            grid, mesh, p6p, wgt_p, y0, float(dt), steps, 4.75, 0.02,
+            unroll_its=3).red_coords)))
+        out["hprom_pallas_traj_250_f32_timesteps_per_sec"] = \
+            round(steps / el, 1)
+        _stderr(f"bench: pallas whole-trajectory HPROM: {el:.3f}s "
+                f"/ {steps} steps")
     except Exception as e:  # noqa: BLE001 — Mosaic lowering is backend-
         _stderr(f"bench: pallas HPROM skipped ({type(e).__name__}: "
                 f"{str(e)[:200]})")

@@ -219,6 +219,218 @@ def _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, *, tile,
     )(p6p.astype(f32), y_pad, cp.astype(f32), wgt_p.astype(f32))
 
 
+def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
+                      num_steps: int, unroll_its: int, solve_iters: int,
+                      relnorm_cutoff: float, min_delta: float):
+    """Whole-trajectory kernel: the ENTIRE num_steps x unroll_its
+    Gauss-Newton time integration in ONE kernel dispatch.
+
+    Everything lives in VMEM for the whole run — the six stencil basis
+    blocks (~6 MB on the 250^2 NNLS mesh), the per-cell constants, the
+    reduced state — so the 500-step online solve pays ONE dispatch and
+    ONE HBM read of the blocks, instead of one dispatch per Gauss-Newton
+    iteration (~1000 on the canonical runs). The reduced solve is the
+    row-vector in-VMEM CG of _make_step_kernel; the GN loop is
+    `unroll_its` masked iterations (reference stopping rules preserved;
+    iterations past stop freeze y, exactly rom_factored.factored_hprom's
+    unroll path); the time loop is a lax.fori_loop whose carry is the
+    (1, KP) reduced state row.
+
+    All shapes are row-form (1, KP) / (n_p, KP): dots contract on the
+    lane axis so no transposes occur anywhere in the kernel.
+    """
+    hdx = np.float32(hdx)
+    hdy = np.float32(hdy)
+    qdx = np.float32(0.5 * hdx)
+    qdy = np.float32(0.5 * hdy)
+    one = np.float32(1.0)
+    cutoff = np.float32(relnorm_cutoff)
+    mdelta = np.float32(min_delta)
+    f32 = jnp.float32
+    tiny = np.float32(np.finfo(np.float32).tiny)
+
+    def kernel(p6_ref, y0_ref, slbc_ref, wgt_ref, ys_ref, stats_ref):
+        wgt = wgt_ref[...]                    # (n_p, 1)
+        slbc = slbc_ref[...]                  # (n_p, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_p, KP), 1)
+        glane = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
+        grow = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
+
+        def dot_y(p, y):
+            # (n_p, KP) x (1, KP) contracted on lanes -> (n_p, 1)
+            return jax.lax.dot_general(
+                p6_ref[p], y, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+
+        def scalars(y):
+            return (dot_y(0, y), dot_y(1, y), dot_y(2, y),
+                    dot_y(3, y), dot_y(4, y), dot_y(5, y))
+
+        def half_flux(s):
+            u_s, u_w, u_so, v_s, v_w, v_so = s
+            fuv = u_s * v_s
+            ru = qdx * (u_s * u_s - u_w * u_w) \
+                + qdy * (fuv - u_so * v_so)
+            rv = qdy * (v_s * v_s - v_so * v_so) \
+                + qdx * (fuv - u_w * v_w)
+            return ru, rv
+
+        def cg_solve(g):
+            # masked row-vector CG: rows/cols k carry [J^T W^2 r|.];
+            # lanes > k are zero already (zero basis lanes)
+            g_s = jnp.where(jnp.logical_or(grow == k, gcol == k),
+                            f32(0.0), g)
+            b = jnp.where(glane == k, f32(0.0), -g[k:k + 1, :])
+            x = jnp.zeros((1, KP), f32)
+            r = b
+            p = r
+            rs = jnp.sum(r * r)
+            for _ in range(solve_iters):
+                gp = jax.lax.dot_general(
+                    p, g_s, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                denom = jnp.sum(p * gp)
+                live = jnp.logical_and(rs > tiny, denom > tiny)
+                alpha = jnp.where(live,
+                                  rs / jnp.where(live, denom, f32(1.0)),
+                                  f32(0.0))
+                x = x + alpha * p
+                r = r - alpha * gp
+                rs_new = jnp.sum(r * r)
+                beta = jnp.where(live,
+                                 rs_new / jnp.where(live, rs, f32(1.0)),
+                                 f32(0.0))
+                p = r + beta * p
+                rs = rs_new
+            return x
+
+        def gn_iter(y, cp_u, cp_v, it, done, rn_prev, init_norm):
+            s = scalars(y)
+            u_s, u_w, u_so, v_s, v_w, v_so = s
+            ru_f, rv_f = half_flux(s)
+            ru = u_s + ru_f + cp_u
+            rv = v_s + rv_f + cp_v
+            cu0 = (one + hdx * u_s + qdy * v_s) * wgt
+            cu1 = (-hdx * u_w) * wgt
+            cu2 = (-qdy * v_so) * wgt
+            cu3 = (qdy * u_s) * wgt
+            cu5 = (-qdy * u_so) * wgt
+            cv0 = (qdx * v_s) * wgt
+            cv1 = (-qdx * v_w) * wgt
+            cv3 = (one + hdy * v_s + qdx * u_s) * wgt
+            cv4 = (-qdx * u_w) * wgt
+            cv5 = (-hdy * v_so) * wgt
+            ju = cu0 * p6_ref[0] + cu1 * p6_ref[1] + cu2 * p6_ref[2] \
+                + cu3 * p6_ref[3] + cu5 * p6_ref[5]
+            jv = cv0 * p6_ref[0] + cv1 * p6_ref[1] + cv3 * p6_ref[3] \
+                + cv4 * p6_ref[4] + cv5 * p6_ref[5]
+            au = jnp.where(lane == k, ru * wgt, ju)
+            av = jnp.where(lane == k, rv * wgt, jv)
+            g = (jax.lax.dot_general(au, au, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+                 + jax.lax.dot_general(av, av, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32))
+            rn = jnp.sqrt(g[k, k])
+            conv = rn / init_norm < cutoff
+            stag = jnp.logical_and(
+                it > 0, jnp.abs(rn_prev - rn) / rn_prev < mdelta)
+            stop = jnp.logical_or(jnp.logical_or(conv, stag), done)
+            dy = cg_solve(g)
+            y_new = jnp.where(stop, y, y + dy)
+            return (y_new, it + (~stop).astype(jnp.int32), stop,
+                    jnp.where(done, rn_prev, rn))
+
+        def time_step(t, carry):
+            y, its = carry
+            sp = scalars(y)
+            ru_f, rv_f = half_flux(sp)
+            cp_u = -sp[0] + ru_f - slbc
+            cp_v = -sp[3] + rv_f
+            # residual at the step start (u = up): 2*half_flux - slbc
+            ru0 = sp[0] + ru_f + cp_u
+            rv0 = sp[3] + rv_f + cp_v
+            init_norm = jnp.sqrt(jnp.sum((wgt * ru0) ** 2)
+                                 + jnp.sum((wgt * rv0) ** 2))
+            it = jnp.int32(0)
+            done = jnp.bool_(False)
+            rn_prev = init_norm
+            for _ in range(unroll_its):
+                y, it, done, rn_prev = gn_iter(y, cp_u, cp_v, it, done,
+                                               rn_prev, init_norm)
+            ys_ref[pl.ds(t, 1), :] = y
+            return (y, its + it)
+
+        y0 = y0_ref[...]                      # (1, KP)
+        _, its = jax.lax.fori_loop(0, num_steps, time_step,
+                                   (y0, jnp.int32(0)))
+        stats_ref[...] = jnp.where(
+            jnp.logical_and(grow[:8, :] == 0, gcol[:8, :] == 0),
+            its.astype(f32), f32(0.0))
+
+    return kernel
+
+
+def trajectory_hprom_pallas(p6p, y0, slbc_p, wgt_p, k: int, hdx: float,
+                            hdy: float, num_steps: int, *,
+                            unroll_its: int = 3, solve_iters: int = 24,
+                            relnorm_cutoff: float = 1e-5,
+                            min_delta: float = 0.1,
+                            interpret: bool = False):
+    """Run the whole HPROM trajectory in one kernel dispatch.
+
+    Returns (ys (num_steps, k) reduced coords after each step,
+    total_gn_its int32). See rom_factored.pallas_traj_hprom for the
+    user-facing stepper."""
+    with jax.enable_x64(False):
+        ys, stats = _trajectory_hprom_pallas(
+            p6p, y0, slbc_p, wgt_p, k, hdx, hdy, num_steps,
+            unroll_its=unroll_its, solve_iters=solve_iters,
+            relnorm_cutoff=relnorm_cutoff, min_delta=min_delta,
+            interpret=interpret)
+    return ys[:, :k], stats[0, 0].astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "hdx", "hdy", "num_steps",
+                                    "unroll_its", "solve_iters",
+                                    "relnorm_cutoff", "min_delta",
+                                    "interpret"))
+def _trajectory_hprom_pallas(p6p, y0, slbc_p, wgt_p, k, hdx, hdy,
+                             num_steps, *, unroll_its, solve_iters,
+                             relnorm_cutoff, min_delta, interpret):
+    f32 = jnp.float32
+    n_p = p6p.shape[1]
+    y0_row = jnp.zeros((1, KP), f32).at[0, :k].set(y0.astype(f32))
+    kernel = _make_traj_kernel(k, n_p, hdx, hdy, num_steps, unroll_its,
+                               solve_iters, relnorm_cutoff, min_delta)
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((6, n_p, KP), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_steps, KP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_steps, KP), f32),
+            jax.ShapeDtypeStruct((8, KP), f32),
+        ],
+        interpret=interpret,
+    )(p6p.astype(f32), y0_row, slbc_p.astype(f32), wgt_p.astype(f32))
+
+
 def pad_factored_inputs(p6, wgt, tile: int = 256):
     """Pad (6, n_s, k) blocks and (n_s,) weights for the kernel.
 

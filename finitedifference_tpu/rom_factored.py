@@ -395,3 +395,52 @@ def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
         step, (y0, scalars(y0), jnp.int32(0)), None, length=num_steps)
     red = jnp.concatenate((y0[None, :], ys), axis=0).T
     return ROMResult(red_coords=red, total_gn_its=its)
+
+
+def pallas_traj_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
+                      mu1, mu2, *, unroll_its: int = 3,
+                      solve_iters: int = 24,
+                      relnorm_cutoff: float = 1e-5,
+                      min_delta: float = 0.1,
+                      interpret: bool = False) -> ROMResult:
+    """The whole HPROM time integration in ONE Pallas kernel dispatch.
+
+    Where pallas_hprom (above) pays one kernel per Gauss-Newton
+    iteration (~1000 dispatches on the canonical 500-step runs, each
+    ~100 us of launch latency on this backend), this engine runs the
+    full lax.fori_loop over time steps INSIDE the kernel with every
+    operand VMEM-resident (ops/pallas_gn.py::_make_traj_kernel): one
+    dispatch, one HBM read of the stencil blocks, ~6 MB total traffic
+    for the entire run. Gauss-Newton is `unroll_its` masked iterations
+    (the reference observes 2-3 its/step; iterations past the stopping
+    rules freeze y, so trajectories match the dynamic loop whenever it
+    stops within budget) and the reduced solve is the in-VMEM CG.
+
+    f32 only (Mosaic); `dt`, mu1, mu2 are static (they fix the kernel's
+    stencil constants). Same math/stopping rules as rom.ecsw_hprom
+    (tested in tests/test_pallas_gn.py, interpret mode).
+    """
+    from finitedifference_tpu.ops.pallas_gn import (
+        trajectory_hprom_pallas,
+    )
+
+    f32 = jnp.float32
+    y0 = jnp.asarray(y0, f32)
+    k = y0.shape[0]
+    n_p = p6p.shape[1]
+    n_s = mesh.n_sample
+    hdx = float(0.5 * dt / grid.dx)
+    hdy = float(0.5 * dt / grid.dy)
+
+    pad = (0, n_p - n_s)
+    src = jnp.pad(sampled_source(mesh, grid, mu2, dt, f32), pad)
+    lbc = jnp.pad(sampled_inflow_bc(mesh, grid, mu1, dt, f32), pad)
+    slbc_p = (src + lbc)[:, None]
+
+    ys, its = trajectory_hprom_pallas(
+        p6p, y0, slbc_p, wgt_p, k, hdx, hdy, int(num_steps),
+        unroll_its=unroll_its, solve_iters=solve_iters,
+        relnorm_cutoff=relnorm_cutoff, min_delta=min_delta,
+        interpret=interpret)
+    red = jnp.concatenate((y0[None, :], ys), axis=0).T
+    return ROMResult(red_coords=red, total_gn_its=its)

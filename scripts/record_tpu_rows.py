@@ -106,11 +106,13 @@ def linear_family(cfg, grid, w0, out, model, f32):
 
     from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
 
-    if model in ("hprom_tensor", "hprom_factored", "hprom_pallas"):
+    if model in ("hprom_tensor", "hprom_factored", "hprom_pallas",
+                 "hprom_pallas_traj"):
         # latency-race engines (VERDICT r2 #4): same NNLS mesh, online
         # loop as dense reduced-space contractions (tensor), factored
-        # stencil-block kernels (factored), or one fused Pallas kernel
-        # per GN iteration (pallas) — all f32 race configurations with
+        # stencil-block kernels (factored), one fused Pallas kernel per
+        # GN iteration (pallas), or ONE kernel for the entire
+        # trajectory (pallas_traj) — all f32 race configurations with
         # trajectory parity tested vs the generic engine
         method = "nnls"
     else:
@@ -127,7 +129,8 @@ def linear_family(cfg, grid, w0, out, model, f32):
         np.save(wp, weights)
     print(f"{model}: N_e = {int((weights > 0).sum())} ({wp})")
     mesh, sw, ba = prepare_hprom(grid, weights, basis)
-    if model in ("hprom_tensor", "hprom_factored", "hprom_pallas"):
+    if model in ("hprom_tensor", "hprom_factored", "hprom_pallas",
+                 "hprom_pallas_traj"):
         dtype = jnp.float32
     y0 = jnp.asarray(basis.T @ w0, dtype)
     sw_d, ba_d = sw.astype(dtype), jnp.asarray(ba, dtype)
@@ -137,15 +140,17 @@ def linear_family(cfg, grid, w0, out, model, f32):
             tensor_hprom,
         )
         tens = precompute_hprom_tensors(grid, mesh, sw_d, ba_d, cfg.dt)
-    elif model in ("hprom_factored", "hprom_pallas"):
+    elif model in ("hprom_factored", "hprom_pallas",
+                   "hprom_pallas_traj"):
         from finitedifference_tpu.rom_factored import (
             factored_hprom,
             pallas_hprom,
+            pallas_traj_hprom,
             precompute_factored_blocks,
             precompute_pallas_system,
         )
         blocks = precompute_factored_blocks(mesh, ba_d)
-        if model == "hprom_pallas":
+        if model in ("hprom_pallas", "hprom_pallas_traj"):
             p6p, wgt_p = precompute_pallas_system(blocks, sw_d)
     for mu in TEST_POINTS:
         if model == "hprom_tensor":
@@ -166,6 +171,12 @@ def linear_family(cfg, grid, w0, out, model, f32):
                                  float(cfg.dt), cfg.num_steps,
                                  mu[0], mu[1], unroll_its=3,
                                  ls_method="fused")
+                return np.asarray(r.red_coords)
+        elif model == "hprom_pallas_traj":
+            def solve():
+                r = pallas_traj_hprom(grid, mesh, p6p, wgt_p, y0,
+                                      float(cfg.dt), cfg.num_steps,
+                                      mu[0], mu[1], unroll_its=3)
                 return np.asarray(r.red_coords)
         else:
             def solve():
@@ -278,7 +289,7 @@ def closure_family(cfg, grid, w0, out, model, f32):
 
 
 LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_factored",
-          "hprom_pallas", "hprom_multilevel",
+          "hprom_pallas", "hprom_pallas_traj", "hprom_multilevel",
           "hprom_sequential", "hprom_tensor"}
 
 

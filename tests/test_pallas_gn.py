@@ -215,3 +215,32 @@ def test_pallas_hprom_fused_solve(mesh_problem):
                          - np.asarray(a.red_coords)) / \
         np.linalg.norm(np.asarray(a.red_coords))
     assert rel < 5e-3
+
+
+def test_pallas_traj_matches_factored_unrolled(mesh_problem):
+    """Whole-trajectory kernel (ONE dispatch for all steps) == the
+    factored engine with the same unrolled-GN/CG configuration."""
+    from finitedifference_tpu.rom_factored import (
+        factored_hprom,
+        pallas_traj_hprom,
+        precompute_factored_blocks,
+        precompute_pallas_system,
+    )
+
+    grid, mesh, sw, y0, basis_aug = mesh_problem
+    f32 = jnp.float32
+    steps = 12
+    ba = jnp.asarray(basis_aug, f32)
+    y0f = jnp.asarray(y0, f32)
+    swf = sw.astype(f32)
+    blocks = precompute_factored_blocks(mesh, ba)
+    ref = factored_hprom(grid, mesh, swf, y0f, blocks, DT, steps,
+                         MU[0], MU[1], unroll_its=3, ls_method="cg")
+    p6p, wgt_p = precompute_pallas_system(blocks, swf, tile=8)
+    res = pallas_traj_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
+                            MU[0], MU[1], unroll_its=3, interpret=True)
+    rel = np.linalg.norm(np.asarray(res.red_coords)
+                         - np.asarray(ref.red_coords)) / \
+        np.linalg.norm(np.asarray(ref.red_coords))
+    assert rel < 1e-5
+    assert int(res.total_gn_its) == int(ref.total_gn_its)
