@@ -445,6 +445,17 @@ def rom_metrics(dt, steps=500):
         round(9 * steps / el, 1)
     _stderr(f"bench: factored HPROM 9-point sweep: {el:.3f}s "
             f"({9 * steps / el:.0f} agg steps/s)")
+    try:
+        el = timed(lambda: float(jnp.sum(sweep_hprom(
+            grid, mesh, sw32, y0, ba32, dt, steps, mus,
+            engine="pallas_traj", unroll_its=3))))
+        out["hprom_sweep9_pallas_traj_250_f32_agg_timesteps_per_sec"] = \
+            round(9 * steps / el, 1)
+        _stderr(f"bench: whole-trajectory-kernel 9-point sweep: "
+                f"{el:.3f}s ({9 * steps / el:.0f} agg steps/s)")
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering is backend-
+        _stderr(f"bench: pallas_traj sweep skipped ({type(e).__name__}: "
+                f"{str(e)[:200]})")
     return out
 
 

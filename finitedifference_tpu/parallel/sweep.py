@@ -93,15 +93,32 @@ def sweep_hprom(grid: Grid2D, smesh, sample_weights, y0, basis_aug, dt,
     under vmap its per-iteration GEMV and Gram build become true batched
     MXU GEMMs, so the aggregate sweep rate improves over the
     gather-based generic path.
+
+    engine="pallas_traj" runs the whole-trajectory kernel
+    (rom_factored.pallas_traj_hprom, f32 only): mu enters only through
+    the per-cell source/BC input array, so the batch vmaps into the
+    kernel's leading grid dimension — B trajectories, B dispatches
+    total (unroll_its/solve_iters kwargs apply; ls_method does not).
     """
     from finitedifference_tpu.rom import ecsw_hprom
     from finitedifference_tpu.rom_factored import (
         factored_hprom,
+        pallas_traj_hprom,
         precompute_factored_blocks,
+        precompute_pallas_system,
     )
 
     mus = _shard_batch(mus, mesh)
-    if engine == "factored":
+    if engine == "pallas_traj":
+        blocks = precompute_factored_blocks(smesh, basis_aug)
+        p6p, wgt_p = precompute_pallas_system(blocks, sample_weights)
+        kw = {k: v for k, v in kwargs.items() if k != "ls_method"}
+
+        def run(mu):
+            return pallas_traj_hprom(grid, smesh, p6p, wgt_p, y0, dt,
+                                     num_steps, mu[0], mu[1],
+                                     **kw).red_coords
+    elif engine == "factored":
         blocks = precompute_factored_blocks(smesh, basis_aug)
 
         def run(mu):

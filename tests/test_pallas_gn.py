@@ -244,3 +244,35 @@ def test_pallas_traj_matches_factored_unrolled(mesh_problem):
         np.linalg.norm(np.asarray(ref.red_coords))
     assert rel < 1e-5
     assert int(res.total_gn_its) == int(ref.total_gn_its)
+
+
+def test_pallas_traj_sweep_matches_per_point(mesh_problem):
+    """engine='pallas_traj' in sweep_hprom: the vmapped whole-trajectory
+    kernel equals per-point runs (mu enters only via the source/BC
+    input, so vmap batches into the kernel grid)."""
+    from finitedifference_tpu.parallel.sweep import sweep_hprom
+    from finitedifference_tpu.rom_factored import (
+        pallas_traj_hprom,
+        precompute_factored_blocks,
+        precompute_pallas_system,
+    )
+
+    grid, mesh, sw, y0, basis_aug = mesh_problem
+    f32 = jnp.float32
+    steps = 8
+    ba = jnp.asarray(basis_aug, f32)
+    y0f = jnp.asarray(y0, f32)
+    swf = sw.astype(f32)
+    mus = jnp.asarray([[4.5, 0.018], [5.0, 0.025]], f32)
+    out = sweep_hprom(grid, mesh, swf, y0f, ba, DT, steps, mus,
+                      engine="pallas_traj", unroll_its=3,
+                      interpret=True)
+    blocks = precompute_factored_blocks(mesh, ba)
+    p6p, wgt_p = precompute_pallas_system(blocks, swf)
+    for i in range(2):
+        ref = pallas_traj_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
+                                float(mus[i, 0]), float(mus[i, 1]),
+                                unroll_its=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[i]),
+                                   np.asarray(ref.red_coords),
+                                   rtol=1e-6, atol=1e-8)
