@@ -13,6 +13,7 @@ jitted `lax.scan`; only the epoch loop and monitor live on the host.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -80,7 +81,7 @@ def train_rnm(q_p, q_s, *, epochs: int = 5000, lr: float = 1e-3,
               model_path: str = "rnm_model.msgpack",
               plateau_patience: int = 100, plateau_factor: float = 0.5,
               plateau_threshold: float = 1e-4, min_lr: float = 1e-7,
-              train_dtype="float32",
+              train_dtype="float32", resume: bool = False,
               verbose: bool = False) -> Tuple[RNM_NN, dict, TrainingMonitor]:
     """Train the RNM closure network. Returns (module, params, monitor).
 
@@ -94,6 +95,15 @@ def train_rnm(q_p, q_s, *, epochs: int = 5000, lr: float = 1e-3,
     counts *batches* — at ~250 batches/epoch the LR collapsed hundreds
     of times faster than the reference's schedule and the net
     underfitted (round-1 RNM error 6.4-6.9% vs the <=3% target).
+
+    resume: warm-start from an existing `model_path` checkpoint (the
+    reference's TrainingMonitor resume path, train_utils.py:21-85):
+    restore the best params + loss history and continue the epoch count
+    from where the interrupted run stopped. Pass `lr` as the learning
+    rate the dead run had reached (the plateau schedule is monotone, so
+    this is recoverable from the sidecar's "lr ->" trace or the epoch
+    count); optimizer moments restart from zero, which Adam re-estimates
+    within ~tens of steps.
     """
     q_p = np.asarray(q_p)
     q_s = np.asarray(q_s)
@@ -112,16 +122,25 @@ def train_rnm(q_p, q_s, *, epochs: int = 5000, lr: float = 1e-3,
                               dtype=qp_tr.dtype)
     # learning rate lives in opt_state.hyperparams so the host-side
     # epoch loop can anneal it without retracing _train_epoch
+    monitor = TrainingMonitor(model_path, patience)
+    start_epoch = 0
+    if resume and os.path.exists(model_path):
+        params = monitor.load_from_path(model_path, params)
+        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, td),
+                                        params)
+        start_epoch = monitor.epoch
+        if verbose:
+            print(f"  resumed {model_path}: epoch {start_epoch}, "
+                  f"best val {monitor.best_crit:.3e}, lr {lr:.2e}")
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     opt_state = opt.init(params)
-    monitor = TrainingMonitor(model_path, patience)
     key = jax.random.PRNGKey(seed + 1)
 
     cur_lr = lr
-    plateau_best = np.inf
+    plateau_best = monitor.best_crit if start_epoch else np.inf
     plateau_stale = 0
     batch_size = min(batch_size, n_train)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         key, sub = jax.random.split(key)
         params, opt_state, train_loss = _train_epoch(
             module, opt, params, opt_state, qp_tr, qs_tr, sub, batch_size)

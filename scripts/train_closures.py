@@ -33,6 +33,19 @@ p.add_argument("--num-cells", type=int, default=None,
                     "reference's per-resolution directory trees")
 p.add_argument("--gp-stride", type=int, default=1,
                help="training-pair stride for the GP fit")
+p.add_argument("--gp-per-mode", default="full",
+               choices=["none", "scales", "full"],
+               help="GP output-mode treatment (train_gp); the shipped "
+                    "250^2 model is the per-mode-full family selected "
+                    "by the round-3 offline sweep (gp_offline_eval.py)")
+p.add_argument("--gp-noise", type=float, default=1e-8)
+p.add_argument("--gp-steps", type=int, default=300)
+p.add_argument("--rnm-resume", action="store_true",
+               help="warm-start the RNM fit from an existing checkpoint "
+                    "(an interrupted run's best params + epoch count)")
+p.add_argument("--rnm-lr", type=float, default=1e-3,
+               help="initial learning rate for the RNM fit; on "
+                    "--rnm-resume pass the LR the dead run had reached")
 args = p.parse_args()
 
 from common import res_path  # noqa: E402
@@ -63,7 +76,7 @@ if "rnm" not in args.skip:
     from finitedifference_tpu.snapshots import collect_snapshots
 
     rnm_path = res_path(cfg, "rnm_model.msgpack")
-    if args.retrain or not os.path.exists(rnm_path):
+    if args.retrain or args.rnm_resume or not os.path.exists(rnm_path):
         # the MLP regression is cheap: use ALL projected pairs
         snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
                                   cfg.num_steps, snap_folder=cfg.snap_folder)
@@ -74,7 +87,8 @@ if "rnm" not in args.skip:
         module, params, mon = train_rnm(
             qp_all, qs_all, batch_size=cfg.batch_size,
             train_frac=cfg.train_frac, seed=cfg.seed,
-            model_path=rnm_path, verbose=True)
+            model_path=rnm_path, resume=args.rnm_resume,
+            lr=args.rnm_lr, verbose=True)
         print(f"RNM trained in {time.time() - t0:.1f}s", flush=True)
 
 if "gp" not in args.skip:
@@ -84,7 +98,9 @@ if "gp" not in args.skip:
     if args.retrain or not os.path.exists(gp_path):
         t0 = time.time()
         s = args.gp_stride
-        model = train_gp(q_p[::s], q_s[::s], verbose=True)
+        model = train_gp(q_p[::s], q_s[::s], per_mode=args.gp_per_mode,
+                         noise=args.gp_noise, num_steps=args.gp_steps,
+                         verbose=True)
         print(f"GP trained in {time.time() - t0:.1f}s", flush=True)
         save_gp(model, gp_path)
 

@@ -73,6 +73,23 @@ class TestRNMTraining:
             np.linalg.norm(q_s[:20])
         assert err < 0.1
 
+    def test_resume_continues_from_checkpoint(self, tmp_path):
+        # interrupt a fit at epoch 60, resume, and the combined run must
+        # end at least as good as the interrupted checkpoint with the
+        # epoch count carried on (reference train_utils.py resume path)
+        q_p, q_s = smooth_pairs()
+        path = str(tmp_path / "rnm.msgpack")
+        _, _, mon1 = train_rnm(q_p, q_s, epochs=60, lr=3e-3,
+                               batch_size=32, patience=100,
+                               model_path=path)
+        module, params, mon2 = train_rnm(
+            q_p, q_s, epochs=150, lr=3e-3, batch_size=32, patience=100,
+            model_path=path, resume=True)
+        assert mon2.epoch > 60
+        assert mon2.best_crit <= mon1.best_crit
+        # history is contiguous across the interruption
+        assert len(mon2.train_losses) == mon2.epoch
+
     def test_project_snapshots(self):
         rng = np.random.default_rng(0)
         basis = np.linalg.qr(rng.normal(size=(50, 10)))[0]
