@@ -38,6 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KP = 128          # padded mode axis (lanes)
+# f32 dots must force HIGHEST precision: the MXU's DEFAULT f32 path
+# multiplies in single-pass bf16 (8-bit mantissa), which wrecked the
+# hardware trajectories at 6-11% error while interpret-mode parity
+# tests (true f32) passed — the in-kernel twin of the round-2 closure
+# root cause (precision.py::hi_matmul).
+HI = jax.lax.Precision.HIGHEST
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,7 +70,7 @@ def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
         def dot_y(p):
             return jax.lax.dot_general(
                 p6_ref[p], y, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)  # (tile, 1)
+                preferred_element_type=f32, precision=HI)  # (tile, 1)
 
         u_s, u_w, u_so = dot_y(0), dot_y(1), dot_y(2)
         v_s, v_w, v_so = dot_y(3), dot_y(4), dot_y(5)
@@ -104,9 +110,9 @@ def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
 
         acc_ref[...] += (
             jax.lax.dot_general(au, au, (((0,), (0,)), ((), ())),
-                                preferred_element_type=f32)
+                                preferred_element_type=f32, precision=HI)
             + jax.lax.dot_general(av, av, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32))
+                                  preferred_element_type=f32, precision=HI))
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -154,7 +160,7 @@ def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
             for _ in range(solve_iters):
                 gp = jax.lax.dot_general(
                     p, g_s, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
+                    preferred_element_type=f32, precision=HI)
                 denom = jnp.sum(p * gp)
                 live = jnp.logical_and(rs > tiny, denom > tiny)
                 alpha = jnp.where(live,
@@ -261,7 +267,7 @@ def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
             # (n_p, KP) x (1, KP) contracted on lanes -> (n_p, 1)
             return jax.lax.dot_general(
                 p6_ref[p], y, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
+                preferred_element_type=f32, precision=HI)
 
         def scalars(y):
             return (dot_y(0, y), dot_y(1, y), dot_y(2, y),
@@ -289,7 +295,7 @@ def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
             for _ in range(solve_iters):
                 gp = jax.lax.dot_general(
                     p, g_s, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
+                    preferred_element_type=f32, precision=HI)
                 denom = jnp.sum(p * gp)
                 live = jnp.logical_and(rs > tiny, denom > tiny)
                 alpha = jnp.where(live,
@@ -328,9 +334,9 @@ def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
             au = jnp.where(lane == k, ru * wgt, ju)
             av = jnp.where(lane == k, rv * wgt, jv)
             g = (jax.lax.dot_general(au, au, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
+                                     preferred_element_type=f32, precision=HI)
                  + jax.lax.dot_general(av, av, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32))
+                                       preferred_element_type=f32, precision=HI))
             rn = jnp.sqrt(g[k, k])
             conv = rn / init_norm < cutoff
             stag = jnp.logical_and(
@@ -427,6 +433,13 @@ def _trajectory_hprom_pallas(p6p, y0, slbc_p, wgt_p, k, hdx, hdy,
             jax.ShapeDtypeStruct((num_steps, KP), f32),
             jax.ShapeDtypeStruct((8, KP), f32),
         ],
+        # the whole-trajectory kernel's live set (six (n_p, KP) blocks +
+        # unrolled GN temporaries + the (num_steps, KP) output) exceeds
+        # Mosaic's default 16 MB scoped-vmem cap (observed 27 MB on the
+        # 250^2 NNLS mesh); v5e VMEM is 128 MB, so raise the cap rather
+        # than spill to HBM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(p6p.astype(f32), y0_row, slbc_p.astype(f32), wgt_p.astype(f32))
 
