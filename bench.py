@@ -129,6 +129,42 @@ def main():
         "fom_newton_its_per_step": round(newton_its / meas_steps, 2),
     }
 
+    # predictor config: start each Newton from the linear extrapolation
+    # 2 w_n - w_{n-1} (converged solution unchanged, stopping rules and
+    # tolerance identical — only the initial guess improves, saving ~1
+    # Newton iteration/step). The headline above keeps the reference's
+    # w_n start for apples-to-apples; this row is the framework's own
+    # faster configuration.
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def _run_pred(mu1, steps):
+        r = inviscid_burgers_implicit2d_skewed(
+            grid, w0, dt, steps, mu1, 0.02, snaps_dtype=jnp.float32,
+            extrapolate_guess=True)
+        return jnp.sum(r.snaps), r.total_newton_its
+
+    def run_pred(mu1, steps):
+        checksum, its = _run_pred(mu1, steps)
+        float(checksum)
+        return its
+
+    try:
+        run_pred(4.75, warm_steps)
+        pred_rates, pred_its = [], 0
+        for rep in range(3):
+            t0 = time.time()
+            pred_its = int(run_pred(4.76 + rep * 1e-4, meas_steps))
+            pred_rates.append(meas_steps / (time.time() - t0))
+        extra["fom_predictor_timesteps_per_sec"] = round(
+            sorted(pred_rates)[1], 1)
+        extra["fom_predictor_newton_its_per_step"] = round(
+            pred_its / meas_steps, 2)
+        _stderr(f"bench: predictor config: "
+                f"{extra['fom_predictor_timesteps_per_sec']} steps/s, "
+                f"{pred_its / meas_steps:.2f} Newton its/step")
+    except Exception as e:  # noqa: BLE001 — headline must still print
+        _stderr(f"bench: predictor config skipped ({type(e).__name__}: "
+                f"{str(e)[:200]})")
+
     # ---------------- measured FOM roofline (VERDICT r2 #8) -------------
     # Time the Newton body's two sub-programs (skewed residual, Pallas
     # wavefront solve) as scanned loops at the same 750^2 shapes, and
