@@ -84,7 +84,13 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
         if worst > cutoff:
             print(f"WARNING: some Newton step exited unconverged "
                   f"(worst final relative residual {worst:.2e} > {cutoff:g})")
-    np.save(snap_fn, snaps)
+    # atomic publish: np.save straight to the target leaves a torn file
+    # if the writer dies (or two generators race) mid-write; writers are
+    # per-process-unique tmp + os.replace so readers only ever see
+    # complete trajectories
+    tmp_fn = f"{snap_fn}.tmp.{os.getpid()}.npy"
+    np.save(tmp_fn, snaps)
+    os.replace(tmp_fn, snap_fn)
     return snaps
 
 
