@@ -22,6 +22,7 @@ Offline machinery that selects a sampled mesh and positive weights:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -172,19 +173,20 @@ def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
               max_support: Optional[int] = None,
               rel_err_thresh: float = 0.0,
               verbose: bool = False) -> Tuple[np.ndarray, float, np.ndarray]:
-    """Lawson-Hanson NNLS with an incrementally-updated Gram inverse.
+    """Lawson-Hanson NNLS on an incrementally-maintained Gram Cholesky.
 
     Same active-set algorithm and stopping rules as `nnls` (including the
     reference's `rel_err_thresh` / `max_support` early stops,
     lsqnonneg.py:100-105), but the passive-set least-squares solve comes
-    from a rank-one-updated (A^T A)^{-1} (`_GramInverse`) instead of a
-    fresh O(m s^2) lstsq per step. Per-iteration cost: O(m n) scoring +
-    O(m s) new Gram column + O(s^2) inverse update — supports of
-    thousands become tractable on one host core (this environment's
-    fine-grid level-2 solves; a fresh-lstsq LH at support ~2,000 costs
-    ~1e13 flops, hours on one core). The Gram squaring spends ~half the
-    f64 significand, so weights agree with `nnls` to ~1e-6 relative
-    rather than bitwise (tests/test_ecsw.py::test_gram_matches_lstsq).
+    from an incrementally-extended Cholesky factor of A^T A
+    (`_GramCholesky`) instead of a fresh O(m s^2) lstsq per step.
+    Per-iteration cost: O(m n) scoring + O(m s) new Gram column +
+    O(s^2) factor update — supports of thousands become tractable on one
+    host core (this environment's fine-grid level-2 solves; a
+    fresh-lstsq LH at support ~2,000 costs ~1e13 flops, hours on one
+    core). The Gram squaring spends ~half the f64 significand, so
+    weights agree with `nnls` to ~1e-6 relative rather than bitwise
+    (tests/test_ecsw.py::test_gram_matches_lstsq).
     """
     C = np.ascontiguousarray(C, dtype=np.float64)
     d = np.asarray(d, dtype=np.float64)
@@ -192,7 +194,7 @@ def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
     if tol is None:
         tol = 10 * 2.22e-16 * np.abs(C).sum(axis=0).max() * (max(m, n) + 1)
 
-    gram = _GramInverse(C, d)
+    gram = _GramCholesky(C, d)
     x = np.zeros(n)
     passive = np.zeros(n, dtype=bool)
     blocked = np.zeros(n, dtype=bool)   # columns rejected as dependent
@@ -201,6 +203,7 @@ def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
     it = 0
     itmax = itmax_factor * n
     norm_d = np.linalg.norm(d)
+    best_rel, stall = np.inf, 0
 
     def z_full():
         z = np.zeros(n)
@@ -248,6 +251,17 @@ def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
             break
         if max_support is not None and num_pos >= max_support:
             break
+        # anti-cycling safeguard: the exact-arithmetic algorithm strictly
+        # decreases ||resid||, so a long plateau means floating-point
+        # ties are cycling add/drop — stop rather than spin to itmax
+        if rel_err < best_rel - 1e-12 * max(best_rel, 1.0):
+            best_rel, stall = rel_err, 0
+        else:
+            stall += 1
+            if stall >= 300:
+                print(f"WARNING: nnls_gram stalled at rel_err="
+                      f"{rel_err:.3e} (support {num_pos}); stopping")
+                break
 
     return x, float(resid @ resid), resid
 
@@ -298,6 +312,80 @@ def nnls_fista(C, d, num_iters: int = 500):
 # --------------------------------------------------------------------------
 # Empirical Cubature Method (greedy, host)
 # --------------------------------------------------------------------------
+
+class _GramCholesky:
+    """Incrementally-maintained Cholesky factor of the passive-set Gram
+    A^T A for a growing / shrinking column set A = G[:, cols].
+
+    Same O(m k) per add / O(k^2) per remove economics as `_GramInverse`,
+    but numerically stable: appending a column extends the factor
+    exactly (one triangular solve + a Schur scalar), and deleting one
+    re-triangularizes with Givens rotations — neither accumulates the
+    inverse-update drift that made `_GramInverse` mis-classify
+    near-parallel candidates as dependent on large correlated pools
+    (observed on the 750^2 level-2 NNLS: the drifted inverse blocked
+    its way to a 16% stall where the exact solve reaches 1e-4).
+    """
+
+    def __init__(self, G, b):
+        self.G = G
+        self.b = b
+        self.L = np.zeros((0, 0))
+        self.atb = np.zeros(0)
+        self.cols: list = []
+
+    def try_add(self, j, eps: float = 1e-12) -> bool:
+        """Append column j; returns False (no-op) if nearly dependent."""
+        from scipy.linalg import solve_triangular
+
+        g = self.G[:, j]
+        d = float(g @ g)
+        k = len(self.cols)
+        if k == 0:
+            if d <= eps:
+                return False
+            self.L = np.array([[np.sqrt(d)]])
+            self.atb = np.array([float(g @ self.b)])
+            self.cols = [j]
+            return True
+        u = self.G[:, self.cols].T @ g            # (k,)
+        w = solve_triangular(self.L, u, lower=True)
+        s = d - float(w @ w)                      # Schur complement
+        if s <= eps * max(d, 1.0):
+            return False
+        new = np.zeros((k + 1, k + 1))
+        new[:k, :k] = self.L
+        new[k, :k] = w
+        new[k, k] = np.sqrt(s)
+        self.L = new
+        self.atb = np.append(self.atb, float(g @ self.b))
+        self.cols.append(j)
+        return True
+
+    def remove(self, i: int) -> None:
+        """Drop the i-th (positional) column; Givens re-triangularization
+        of the row-deleted factor (standard qr-delete)."""
+        m = np.delete(self.L, i, axis=0)          # (k-1, k)
+        k1 = m.shape[0]
+        for c in range(i, k1):
+            a, b = m[c, c], m[c, c + 1]
+            r = np.hypot(a, b)
+            if r == 0.0:
+                continue
+            cs, sn = a / r, b / r
+            col_c = m[:, c] * cs + m[:, c + 1] * sn
+            m[:, c + 1] = m[:, c + 1] * cs - m[:, c] * sn
+            m[:, c] = col_c
+        self.L = np.ascontiguousarray(m[:, :k1])
+        self.atb = np.delete(self.atb, i)
+        self.cols = [p for q, p in enumerate(self.cols) if q != i]
+
+    def weights(self) -> np.ndarray:
+        from scipy.linalg import solve_triangular
+
+        y = solve_triangular(self.L, self.atb, lower=True)
+        return solve_triangular(self.L.T, y, lower=False)
+
 
 class _GramInverse:
     """Incrementally-maintained (A^T A)^{-1} and A^T b for a growing /
@@ -751,6 +839,233 @@ def ecsw_training_matrix_device(grid: Grid2D, snaps, prev_snaps, basis,
     return C
 
 
+def lawson_hanson_weights_device(C_dev, grid: Grid2D,
+                                 bc_w: float = 50.0,
+                                 rel_err_thresh: float = 1e-4,
+                                 ring: str = "inflow",
+                                 batch_add: int = 8,
+                                 max_support: Optional[int] = None,
+                                 stall_limit: int = 300,
+                                 verbose: bool = False) -> np.ndarray:
+    """EXACT Lawson-Hanson ECSW weights with the training matrix resident
+    on the DEVICE — the fine-grid production recipe.
+
+    Greedy active-set NNLS needs the gradient w = C^T r over EVERY
+    candidate column at every step; pre-screening a subset first
+    (multilevel/FISTA truncation) caps what the greedy can reach — at
+    750^2 the NNLS *optimum* on an 8,000-column FISTA-screened subset
+    floors at 19% training residual where this full-candidate solve
+    reaches the reference's 1e-4 recipe target. So the split here is by
+    OPERATION, not by column block: the O(m n) scoring GEMV runs on the
+    TPU against the resident 10.7 GB C (one pass of HBM traffic,
+    ~25 ms), and only the score vector (2.2 MB) plus the few newly
+    selected columns (fetched as one-hot matmuls — gathers on a 10 GB
+    buffer allocate a C-sized temp and OOM) cross the 24 MB/s tunnel.
+    The host keeps the passive-set Cholesky factor (`_GramCholesky`
+    mechanics inlined over the fetched-column cache) and runs the exact
+    inner drop loop.
+
+    `batch_add` adds the top-q gradient columns per scoring round
+    (block-pivoting LH) to amortize the round trip; q=1 reproduces the
+    textbook algorithm. Same stopping rules as `nnls`/`nnls_gram`
+    (reference lsqnonneg.py:100-105 + the rel_err_thresh recipe stop,
+    run_HPROM_ecsw_joshua.py:55-111).
+    """
+    from scipy.linalg import solve_triangular
+
+    C_dev = jnp.asarray(C_dev)
+    m, ncols = C_dev.shape
+    ny, nx = grid.ny, grid.nx
+    assert ncols == ny * nx
+    cand = interior_mask(grid, ring).ravel()
+    cand_dev = jnp.asarray(cand, C_dev.dtype)
+    hi_prec = jax.lax.Precision.HIGHEST
+
+    d_dev = jnp.matmul(C_dev, cand_dev, precision=hi_prec)
+    d = np.asarray(d_dev, np.float64)
+    norm_d = np.linalg.norm(d)
+
+    @jax.jit
+    def score(resid):
+        return jnp.matmul(jnp.asarray(resid, C_dev.dtype), C_dev,
+                          precision=hi_prec) * cand_dev
+
+    @jax.jit
+    def fetch_cols(idx):
+        sel = (idx[None, :] == jnp.arange(ncols)[:, None]) \
+            .astype(C_dev.dtype)
+        return jnp.matmul(C_dev, sel, precision=hi_prec)
+
+    colsum = float(jnp.max(jnp.abs(C_dev).sum(axis=0) * cand_dev))
+    tol = 10 * 2.22e-16 * colsum * (max(m, ncols) + 1)
+
+    cache: dict = {}
+
+    def col(j):
+        if j not in cache:
+            cache[j] = np.asarray(
+                fetch_cols(jnp.asarray([j])), np.float64).ravel()
+        return cache[j]
+
+    def prefetch(js):
+        missing = [int(j) for j in js if int(j) not in cache]
+        if missing:
+            got = np.asarray(fetch_cols(jnp.asarray(missing)),
+                             np.float64)
+            for q, j in enumerate(missing):
+                cache[j] = got[:, q].copy()
+
+    # passive-set state: Cholesky factor L of A_p^T A_p, fetched columns
+    # Ap, reduced rhs atb — the _GramCholesky mechanics over cache cols
+    L = np.zeros((0, 0))
+    Ap = np.zeros((m, 0))
+    atb = np.zeros(0)
+    cols: list = []
+
+    def try_add(j) -> bool:
+        nonlocal L, Ap, atb, cols
+        g = col(j)
+        dd = float(g @ g)
+        k = len(cols)
+        if k == 0:
+            if dd <= 1e-12:
+                return False
+            L = np.array([[np.sqrt(dd)]])
+            Ap = g[:, None].copy()
+            atb = np.array([float(g @ d)])
+            cols = [j]
+            return True
+        u = Ap.T @ g
+        ww = solve_triangular(L, u, lower=True)
+        s = dd - float(ww @ ww)
+        if s <= 1e-12 * max(dd, 1.0):
+            return False
+        new = np.zeros((k + 1, k + 1))
+        new[:k, :k] = L
+        new[k, :k] = ww
+        new[k, k] = np.sqrt(s)
+        L = new
+        Ap = np.column_stack([Ap, g])
+        atb = np.append(atb, float(g @ d))
+        cols.append(j)
+        return True
+
+    def remove(i) -> None:
+        nonlocal L, Ap, atb, cols
+        mm = np.delete(L, i, axis=0)
+        k1 = mm.shape[0]
+        for c in range(i, k1):
+            a, b = mm[c, c], mm[c, c + 1]
+            r = np.hypot(a, b)
+            if r == 0.0:
+                continue
+            cs, sn = a / r, b / r
+            col_c = mm[:, c] * cs + mm[:, c + 1] * sn
+            mm[:, c + 1] = mm[:, c + 1] * cs - mm[:, c] * sn
+            mm[:, c] = col_c
+        L = np.ascontiguousarray(mm[:, :k1])
+        Ap = np.delete(Ap, i, axis=1)
+        atb = np.delete(atb, i)
+        cols = [p for q, p in enumerate(cols) if q != i]
+
+    def weights_now():
+        y = solve_triangular(L, atb, lower=True)
+        return solve_triangular(L.T, y, lower=False)
+
+    x = np.zeros(ncols)
+    passive = np.zeros(ncols, bool)
+    blocked = np.zeros(ncols, bool)
+    resid = d.copy()
+    rel = 1.0
+    best_rel, stall = np.inf, 0
+    rounds = 0
+    dead_rounds = 0   # consecutive scoring rounds with no accepted add
+    add_budget = batch_add
+    while True:
+        rounds += 1
+        w = np.array(score(resid), np.float64)   # copy: jax CPU buffers
+        w[passive | blocked] = -np.inf           # are read-only views
+        order = np.argsort(w)[::-1]
+        top = [int(t) for t in order[:add_budget] if w[t] > tol]
+        if not top:
+            if blocked.any() and rel > rel_err_thresh and dead_rounds < 3:
+                blocked[:] = False   # retry once support has changed
+                dead_rounds += 1
+                continue
+            break
+        prefetch(top)
+        added = 0
+        for t in top:
+            if try_add(t):
+                passive[t] = True
+                added += 1
+            else:
+                blocked[t] = True
+        if added == 0:
+            dead_rounds += 1
+            if dead_rounds >= 50:
+                print(f"WARNING: device LH: every positive-gradient "
+                      f"candidate is numerically dependent at rel_err="
+                      f"{rel:.3e}; stopping", flush=True)
+                break
+            continue
+        dead_rounds = 0
+        z = np.zeros(ncols)
+        z[cols] = weights_now()
+        guard = 0
+        while (z[passive] <= tol).any():
+            guard += 1
+            if guard > 10 * max(len(cols), 1):
+                break
+            qq = passive & (z <= tol)
+            alpha = np.min(x[qq] / (x[qq] - z[qq]))
+            x = x + alpha * (z - x)
+            dropm = passive & (np.abs(x) < tol)
+            for j in np.where(dropm)[0]:
+                remove(cols.index(int(j)))
+            passive &= ~dropm
+            blocked[:] = False
+            z = np.zeros(ncols)
+            if cols:
+                z[cols] = weights_now()
+        x = z
+        resid = d - Ap @ x[np.asarray(cols, np.int64)]
+        rel = np.linalg.norm(resid) / norm_d if norm_d > 0 else 0.0
+        num_pos = int((x > 0).sum())
+        if verbose and rounds % 20 == 0:
+            print(f"  device LH: round {rounds}, support {num_pos}, "
+                  f"rel_err {rel:.2e}", flush=True)
+        if rel_err_thresh and rel < rel_err_thresh:
+            break
+        if max_support is not None and num_pos >= max_support:
+            break
+        if rel < best_rel - 1e-12 * max(best_rel, 1.0):
+            best_rel, stall = rel, 0
+        else:
+            stall += 1
+            if stall >= 25 and add_budget > 1:
+                # block pivoting can cycle (the batch is added between
+                # LS solves, losing the textbook one-at-a-time progress
+                # guarantee); the single-add walk always makes strict
+                # residual progress in exact arithmetic
+                add_budget = 1
+                if verbose:
+                    print("  device LH: batched adds cycling; falling "
+                          "back to single-add", flush=True)
+            if stall >= stall_limit:
+                print(f"WARNING: device LH stalled at rel_err={rel:.3e}"
+                      f" (support {num_pos}); stopping", flush=True)
+                break
+    if verbose:
+        print(f"  device LH done: {rounds} rounds, support "
+              f"{int((x > 0).sum())}, rel_err {rel:.3e}", flush=True)
+
+    full = np.full(ny * nx, float(bc_w))
+    full[cand] = 0.0
+    full[x > 0] = x[x > 0]
+    return full
+
+
 def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
                                    num_subdomains: int = 12,
                                    bc_w: float = 50.0,
@@ -758,20 +1073,37 @@ def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
                                    fista_iters: int = 2000,
                                    support_cap_per_block: int = 400,
                                    ring: str = "inflow",
+                                   level1: str = "global",
+                                   support_cap_total: Optional[int] = None,
                                    verbose: bool = False) -> np.ndarray:
     """Fine-grid multilevel NNLS with C resident on the DEVICE end to end.
 
     Same two-level recipe as `multilevel_nnls_weights` (reference
     run_HPROM_ecsw_multilevel.py:89-140), restructured for grids where C
     cannot visit the host (10.7 GB at 750^2, against a ~24 MB/s
-    device->host tunnel): level-1 support screening runs as one jitted
-    FISTA program per column block ON the device (the TPU-native
-    analogue of the reference's joblib fan-out); only the union-support
-    columns (m x |U|, tens of MB) ever cross to the host, where
-    `nnls_gram` finishes with an EXACT Lawson-Hanson solve. Non-candidate
-    columns (the `ring` mask) are zeroed instead of gathered — a zero
-    column has zero gradient, so FISTA/NNLS never select it and the
-    column blocks stay contiguous slices.
+    device->host tunnel): level-1 support screening runs as jitted
+    FISTA ON the device (the TPU-native analogue of the reference's
+    joblib NNLS fan-out); only the screened-support columns (m x |U|,
+    tens of MB) ever cross to the host, where `nnls_gram` finishes with
+    an EXACT Lawson-Hanson solve.
+
+    level1 selects the screening shape:
+      "global" (default) — ONE masked FISTA over all candidate columns;
+        the support is the top-`support_cap_total` positive weights.
+        Globally informed: each kept column earned its place against
+        every other candidate. (The per-block variant truncates each
+        block's near-dense FISTA solution to its local top-400, and the
+        union of local choices cannot represent the global target: at
+        750^2 even unconstrained LS on that union floors at 11%
+        residual where this screening reaches the 1e-4 recipe target.)
+      "block" — per-subdomain FISTA on contiguous column blocks with
+        per-block top-`support_cap_per_block` truncation; kept for the
+        spatial-decomposition role of the reference's multilevel script
+        and for small grids where every block solution is sparse.
+
+    Non-candidate columns (the `ring` mask) are zeroed/masked instead of
+    gathered — a zero column has zero gradient, so FISTA/NNLS never
+    select it and the column blocks stay contiguous slices.
     """
     C_dev = jnp.asarray(C_dev)
     m, ncols = C_dev.shape
@@ -780,33 +1112,103 @@ def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
     cand = interior_mask(grid, ring).ravel()
     cand_dev = jnp.asarray(cand, C_dev.dtype)
 
-    d_full = jnp.matmul(C_dev, cand_dev,
-                        precision=jax.lax.Precision.HIGHEST)
+    hi_prec = jax.lax.Precision.HIGHEST
+    d_full = jnp.matmul(C_dev, cand_dev, precision=hi_prec)
 
-    blk = -(-ncols // num_subdomains)
+    if level1 == "global":
+        # ONE masked FISTA over every candidate column, without ever
+        # materializing a masked copy of C (a second 10.7 GB buffer
+        # would OOM the 16 GB chip): the mask rides on the gradient, so
+        # non-candidates have zero gradient and stay at zero.
+        def ctc(C, mask, v):
+            return jnp.matmul(jnp.matmul(C, v, precision=hi_prec),
+                              C, precision=hi_prec) * mask
 
-    @functools.partial(jax.jit, static_argnames=("n_iters",))
-    def screen_block(c_blk, mask_blk, n_iters):
-        c_blk = c_blk * mask_blk[None, :]
-        d_blk = jnp.matmul(c_blk, jnp.ones(c_blk.shape[1], c_blk.dtype),
-                           precision=jax.lax.Precision.HIGHEST)
-        return nnls_fista(c_blk, d_blk, num_iters=n_iters)
+        @jax.jit
+        def prep_global(C, mask, d):
+            ctd = jnp.matmul(d, C, precision=hi_prec) * mask
+            b = mask / jnp.linalg.norm(mask)
+            def pow_step(b, _):
+                nb = ctc(C, mask, b)
+                return nb / (jnp.linalg.norm(nb) + 1e-30), None
+            b, _ = jax.lax.scan(pow_step, b, None, length=16)
+            lip = jnp.linalg.norm(ctc(C, mask, b)) \
+                / (jnp.linalg.norm(b) + 1e-30)
+            return ctd, 1.0 / (lip + 1e-30)
 
-    support: list = []
-    for b in range(num_subdomains):
-        lo, hi = b * blk, min((b + 1) * blk, ncols)
-        x, rel = screen_block(C_dev[:, lo:hi], cand_dev[lo:hi],
-                              fista_iters)
+        # each FISTA iteration streams C twice (~21 GB at 750^2); the
+        # axon worker crashes under multi-minute single dispatches, so
+        # the loop runs as short scanned chunks with the (x, y, t)
+        # carry threaded through Python
+        @functools.partial(jax.jit, static_argnames=("n_iters",))
+        def fista_chunk(C, mask, ctd, step, carry, n_iters):
+            def body(carry, _):
+                x, y, t = carry
+                grad = (ctc(C, mask, y) - ctd) * mask
+                x_new = jnp.maximum(y - step * grad, 0.0)
+                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+                return (x_new, y_new, t_new), None
+            return jax.lax.scan(body, carry, None, length=n_iters)[0]
+
+        @jax.jit
+        def rel_of(C, x, d):
+            return jnp.linalg.norm(
+                jnp.matmul(C, x, precision=hi_prec) - d) \
+                / (jnp.linalg.norm(d) + 1e-30)
+
+        ctd, step = prep_global(C_dev, cand_dev, d_full)
+        x0 = jnp.zeros(ncols, C_dev.dtype)
+        carry = (x0, x0, jnp.asarray(1.0, C_dev.dtype))
+        chunk_its = 250
+        done = 0
+        while done < fista_iters:
+            n = min(chunk_its, fista_iters - done)
+            carry = fista_chunk(C_dev, cand_dev, ctd, step, carry, n)
+            done += n
+            if verbose and done % 1000 == 0:
+                print(f"  global fista: {done}/{fista_iters} its, rel "
+                      f"{float(rel_of(C_dev, carry[0], d_full)):.3e}",
+                      flush=True)
+        x, rel = carry[0], rel_of(C_dev, carry[0], d_full)
         x = np.asarray(x)
+        cap = support_cap_total or 8000
         pos = np.flatnonzero(x > 1e-8 * max(float(x.max()), 1e-30))
-        if pos.size > support_cap_per_block:
-            pos = pos[np.argsort(x[pos])[::-1][:support_cap_per_block]]
-        support.extend(int(p) for p in lo + pos)
+        if pos.size > cap:
+            pos = pos[np.argsort(x[pos])[::-1][:cap]]
+        support = pos
         if verbose:
-            print(f"  fista block {b}: rel {float(rel):.3e}, "
-                  f"kept {pos.size}, union {len(support)}", flush=True)
+            print(f"  global fista: rel {float(rel):.3e}, support "
+                  f"{support.size}", flush=True)
+    else:
+        blk = -(-ncols // num_subdomains)
 
-    support = np.asarray(sorted(set(support)), dtype=np.int64)
+        @functools.partial(jax.jit, static_argnames=("n_iters",))
+        def screen_block(c_blk, mask_blk, n_iters):
+            c_blk = c_blk * mask_blk[None, :]
+            d_blk = jnp.matmul(c_blk,
+                               jnp.ones(c_blk.shape[1], c_blk.dtype),
+                               precision=hi_prec)
+            return nnls_fista(c_blk, d_blk, num_iters=n_iters)
+
+        support: list = []
+        for b in range(num_subdomains):
+            lo, hi = b * blk, min((b + 1) * blk, ncols)
+            x, rel = screen_block(C_dev[:, lo:hi], cand_dev[lo:hi],
+                                  fista_iters)
+            x = np.asarray(x)
+            pos = np.flatnonzero(x > 1e-8 * max(float(x.max()), 1e-30))
+            if pos.size > support_cap_per_block:
+                pos = pos[np.argsort(x[pos])[::-1]
+                          [:support_cap_per_block]]
+            support.extend(int(p) for p in lo + pos)
+            if verbose:
+                print(f"  fista block {b}: rel {float(rel):.3e}, "
+                      f"kept {pos.size}, union {len(support)}",
+                      flush=True)
+
+    support = np.asarray(sorted(set(int(p) for p in support)),
+                         dtype=np.int64)
     if support.size == 0:
         raise ValueError("device multilevel NNLS: empty level-1 support")
 
@@ -833,6 +1235,10 @@ def multilevel_nnls_weights_device(C_dev, grid: Grid2D,
     d_h = np.asarray(d_full, dtype=np.float64)
     if verbose:
         print(f"  level-2 host solve: {Cs.shape}", flush=True)
+    dump = os.environ.get("FDTPU_DUMP_LEVEL2")
+    if dump:
+        np.savez(dump, Cs=Cs.astype(np.float32), d=d_h, support=support)
+        print(f"  level-2 system dumped to {dump}", flush=True)
     w2, _, resid = nnls_gram(Cs, d_h, rel_err_thresh=rel_err_thresh,
                              verbose=verbose)
 

@@ -46,8 +46,20 @@ def main():
                    help="snapshots per C-assembly dispatch (bounds HBM)")
     p.add_argument("--subdomains", type=int, default=12)
     p.add_argument("--cap", type=int, default=400,
-                   help="level-1 support cap per subdomain")
-    p.add_argument("--fista-iters", type=int, default=2000)
+                   help="level-1 support cap per subdomain (block mode)")
+    p.add_argument("--method", default="lh",
+                   choices=["lh", "multilevel"],
+                   help="lh: EXACT device-scored Lawson-Hanson over all "
+                        "candidates (default; reaches the 1e-4 recipe "
+                        "target). multilevel: FISTA screening + host "
+                        "level-2 (caps what the greedy can reach)")
+    p.add_argument("--level1", default="global",
+                   choices=["global", "block"],
+                   help="multilevel level-1 screening: one global masked "
+                        "FISTA or per-subdomain blocks")
+    p.add_argument("--cap-total", type=int, default=8000,
+                   help="level-1 support cap (global mode)")
+    p.add_argument("--fista-iters", type=int, default=4000)
     p.add_argument("--rel-err", type=float, default=1e-4)
     p.add_argument("--ring", default="inflow", choices=["inflow", "full"])
     p.add_argument("--redo", action="store_true")
@@ -57,6 +69,7 @@ def main():
 
     from finitedifference_tpu.ecsw import (
         ecsw_training_matrix_device,
+        lawson_hanson_weights_device,
         multilevel_nnls_weights_device,
     )
     from finitedifference_tpu.grid import grid_from_config
@@ -96,10 +109,16 @@ def main():
     print(f"C assembled in {time.time() - t0:.0f}s", flush=True)
 
     t0 = time.time()
-    weights = multilevel_nnls_weights_device(
-        C_dev, grid, num_subdomains=a.subdomains, bc_w=50.0,
-        rel_err_thresh=a.rel_err, fista_iters=a.fista_iters,
-        support_cap_per_block=a.cap, ring=a.ring, verbose=True)
+    if a.method == "lh":
+        weights = lawson_hanson_weights_device(
+            C_dev, grid, bc_w=50.0, rel_err_thresh=a.rel_err,
+            ring=a.ring, verbose=True)
+    else:
+        weights = multilevel_nnls_weights_device(
+            C_dev, grid, num_subdomains=a.subdomains, bc_w=50.0,
+            rel_err_thresh=a.rel_err, fista_iters=a.fista_iters,
+            support_cap_per_block=a.cap, ring=a.ring, level1=a.level1,
+            support_cap_total=a.cap_total, verbose=True)
     print(f"weights solved in {time.time() - t0:.0f}s", flush=True)
     np.save(out, weights)
     print(f"saved {out}: N_e = {int((weights > 0).sum())} "

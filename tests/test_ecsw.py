@@ -456,8 +456,85 @@ class TestHPROMParity:
             chunk=3, dtype=jnp.float64)
         weights = multilevel_nnls_weights_device(
             c_dev, grid, num_subdomains=4, bc_w=5.0, ring="full",
-            fista_iters=2000)
+            fista_iters=2000, level1="block")
         assert np.all(weights >= 0)
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, 20,
+                           MU[0], MU[1])
+        rom_snaps = basis @ np.asarray(hprom.red_coords)
+        hdm = oracle.implicit_trajectory(w0, MU, DT, 20, ops, xc)
+        assert relative_error_pct(rom_snaps, hdm) < 2.0
+
+    def test_device_lawson_hanson_matches_host(self):
+        """The device-scored exact Lawson-Hanson (scoring GEMV on the
+        accelerator, factor on the host) reproduces the all-host
+        `compute_ecsw_weights(method='nnls')` recipe: batch_add=1 walks
+        the textbook column sequence, so the weight fields agree."""
+        from finitedifference_tpu.ecsw import (
+            compute_ecsw_weights,
+            ecsw_training_matrix,
+            lawson_hanson_weights_device,
+        )
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=20, k=6)
+        C = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s1[:, 3::2]), jnp.asarray(s1[:, 0:-3:2]),
+            jnp.asarray(basis), 4.25, 0.0225, DT))
+        w_host = compute_ecsw_weights(C, grid, method="nnls", bc_w=5.0,
+                                      ring="full", rel_err_thresh=1e-4)
+        w_dev = lawson_hanson_weights_device(
+            jnp.asarray(C, jnp.float64), grid, bc_w=5.0, ring="full",
+            rel_err_thresh=1e-4, batch_add=1)
+        np.testing.assert_allclose(w_dev, w_host, rtol=1e-6, atol=1e-9)
+
+    def test_device_lawson_hanson_batched_hprom_parity(self):
+        """batch_add>1 (block pivoting, the 750^2 production setting)
+        reaches the same training tolerance and drives the HPROM to
+        oracle accuracy."""
+        from finitedifference_tpu.ecsw import (
+            ecsw_training_matrix,
+            lawson_hanson_weights_device,
+        )
+        from finitedifference_tpu.snapshots import relative_error_pct
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=20, k=6)
+        C = np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s1[:, 3::2]), jnp.asarray(s1[:, 0:-3:2]),
+            jnp.asarray(basis), 4.25, 0.0225, DT))
+        weights = lawson_hanson_weights_device(
+            jnp.asarray(C, jnp.float64), grid, bc_w=5.0, ring="full",
+            rel_err_thresh=1e-4, batch_add=8)
+        assert np.all(weights >= 0)
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ w0)
+        hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, 20,
+                           MU[0], MU[1])
+        rom_snaps = basis @ np.asarray(hprom.red_coords)
+        hdm = oracle.implicit_trajectory(w0, MU, DT, 20, ops, xc)
+        assert relative_error_pct(rom_snaps, hdm) < 2.0
+
+    def test_device_multilevel_global_screen_hprom_parity(self):
+        """The global-FISTA level-1 screening (one masked device solve
+        over every candidate column — the 750^2 production recipe) also
+        drives the HPROM to oracle accuracy, with the screened support
+        actually capped."""
+        from finitedifference_tpu.ecsw import (
+            ecsw_training_matrix_device,
+            multilevel_nnls_weights_device,
+        )
+        from finitedifference_tpu.snapshots import relative_error_pct
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=20, k=6)
+        c_dev = ecsw_training_matrix_device(
+            grid, s1[:, 3::2], s1[:, 0:-3:2], basis, 4.25, 0.0225, DT,
+            chunk=3, dtype=jnp.float64)
+        weights = multilevel_nnls_weights_device(
+            c_dev, grid, bc_w=5.0, ring="full", fista_iters=3000,
+            level1="global", support_cap_total=40)
+        assert np.all(weights >= 0)
+        interior = weights[weights != 5.0]
+        assert 0 < int((interior > 0).sum()) <= 40
         mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
         y0 = jnp.asarray(basis.T @ w0)
         hprom = ecsw_hprom(grid, mesh, sw, y0, basis_aug, DT, 20,
