@@ -203,7 +203,7 @@ def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
     it = 0
     itmax = itmax_factor * n
     norm_d = np.linalg.norm(d)
-    best_rel, stall = np.inf, 0
+    best_rel, stall = 1e30, 0   # finite: inf-inf=nan kills the test
 
     def z_full():
         z = np.zeros(n)
@@ -885,18 +885,39 @@ def lawson_hanson_weights_device(C_dev, grid: Grid2D,
     d = np.asarray(d_dev, np.float64)
     norm_d = np.linalg.norm(d)
 
+    # NB: C rides as an ARGUMENT everywhere — a jitted closure over a
+    # 10.7 GB device array embeds it as a lowering-time constant (and
+    # this environment ships HLO to a remote compile service)
     @jax.jit
+    def _score(C, mask, resid):
+        return jnp.matmul(jnp.asarray(resid, C.dtype), C,
+                          precision=hi_prec) * mask
+
     def score(resid):
-        return jnp.matmul(jnp.asarray(resid, C_dev.dtype), C_dev,
-                          precision=hi_prec) * cand_dev
+        return _score(C_dev, cand_dev, resid)
 
     @jax.jit
-    def fetch_cols(idx):
-        sel = (idx[None, :] == jnp.arange(ncols)[:, None]) \
-            .astype(C_dev.dtype)
-        return jnp.matmul(C_dev, sel, precision=hi_prec)
+    def _fetch_cols(C, idx):
+        sel = (idx[None, :] == jnp.arange(C.shape[1])[:, None]) \
+            .astype(C.dtype)
+        return jnp.matmul(C, sel, precision=hi_prec)
 
-    colsum = float(jnp.max(jnp.abs(C_dev).sum(axis=0) * cand_dev))
+    def fetch_cols(idx):
+        return _fetch_cols(C_dev, idx)
+
+    # column abs-sums for the stationarity tolerance: jnp.abs(C) would
+    # materialize a second C-sized buffer (OOM at 10.7 GB) — reduce in
+    # column chunks instead
+    @jax.jit
+    def _chunk_colsum_max(c_chunk, m_chunk):
+        return jnp.max(jnp.abs(c_chunk).sum(axis=0) * m_chunk)
+
+    cs_chunk = 65536
+    colsum = 0.0
+    for lo in range(0, ncols, cs_chunk):
+        hi_c = min(lo + cs_chunk, ncols)
+        colsum = max(colsum, float(_chunk_colsum_max(
+            C_dev[:, lo:hi_c], cand_dev[lo:hi_c])))
     tol = 10 * 2.22e-16 * colsum * (max(m, ncols) + 1)
 
     cache: dict = {}
@@ -977,7 +998,7 @@ def lawson_hanson_weights_device(C_dev, grid: Grid2D,
     blocked = np.zeros(ncols, bool)
     resid = d.copy()
     rel = 1.0
-    best_rel, stall = np.inf, 0
+    best_rel, stall = 1e30, 0   # finite: inf-inf=nan kills the test
     rounds = 0
     dead_rounds = 0   # consecutive scoring rounds with no accepted add
     add_budget = batch_add
@@ -1047,7 +1068,10 @@ def lawson_hanson_weights_device(C_dev, grid: Grid2D,
                 # block pivoting can cycle (the batch is added between
                 # LS solves, losing the textbook one-at-a-time progress
                 # guarantee); the single-add walk always makes strict
-                # residual progress in exact arithmetic
+                # residual progress in exact arithmetic. The fallback is
+                # permanent: on the correlated ECSW pools that cycle
+                # once, re-batching just re-enters the cycle (observed
+                # at 750^2)
                 add_budget = 1
                 if verbose:
                     print("  device LH: batched adds cycling; falling "
