@@ -185,6 +185,18 @@ def main():
             _stderr(f"bench: ROM metrics skipped ({type(e).__name__}: "
                     f"{str(e)[:200]})")
 
+    # ---------------- fine-grid (750^2) reduced models -------------------
+    # The reference's fine workbench OOMs a 24-core node at exactly this
+    # stage (BurgersFD_CleanFine/slurm-55470585.out:1-2); these rows only
+    # run when the fine offline artifacts exist (scripts/gen_snapshots_fine
+    # + build_fine_weights).
+    if not skip_roms and os.path.exists("basis_750x750.npy"):
+        try:
+            extra.update(fine_rom_metrics(dt, rate if n == 750 else None))
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            _stderr(f"bench: fine ROM metrics skipped "
+                    f"({type(e).__name__}: {str(e)[:200]})")
+
     # metric name carries the full precision story (ADVICE r2): Newton
     # residuals/tolerance are f64, inner solves + stored snaps are f32
     print(json.dumps({
@@ -492,6 +504,55 @@ def rom_metrics(dt, steps=500):
     except Exception as e:  # noqa: BLE001 — Mosaic lowering is backend-
         _stderr(f"bench: pallas_traj sweep skipped ({type(e).__name__}: "
                 f"{str(e)[:200]})")
+    return out
+
+
+def fine_rom_metrics(dt, fom_rate_750, steps=500):
+    """Warm 750^2 PROM / HPROM online rates (VERDICT r2 #2/#7): the
+    apples-to-apples fine-grid ROM-vs-FOM economics the reference could
+    not record (its HPROM OOMs, its PROM manages 1.6x at ~3.2% error)."""
+    import jax.numpy as jnp
+
+    from finitedifference_tpu.grid import Grid2D
+    from finitedifference_tpu.rom import ecsw_hprom, lspg_prom, prepare_hprom
+
+    f32 = jnp.float32
+    grid = Grid2D(nx=750, ny=750, x_up=100.0, y_up=100.0)
+    w0 = jnp.ones(grid.state_dim, f32)
+    out = {}
+
+    basis = np.load("basis_750x750.npy")[:, :95]
+    basis_d = jnp.asarray(basis, f32)
+
+    def timed(fn, reps=3):
+        fn()   # compile + settle
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return sorted(ts)[reps // 2]
+
+    el = timed(lambda: float(jnp.sum(lspg_prom(
+        grid, w0, dt, steps, 4.75, 0.02, basis_d,
+        ls_method="normal").red_coords)))
+    out["prom95_750_f32_timesteps_per_sec"] = round(steps / el, 1)
+    _stderr(f"bench: PROM(95) 750^2 f32: {el:.3f}s / {steps} steps")
+
+    if os.path.exists("ecsw_weights_lspg_750x750.npy"):
+        weights = np.load("ecsw_weights_lspg_750x750.npy")
+        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+        y0 = jnp.asarray(basis.T @ np.asarray(w0), f32)
+        el = timed(lambda: float(jnp.sum(ecsw_hprom(
+            grid, mesh, sw.astype(f32), y0, jnp.asarray(basis_aug, f32),
+            dt, steps, 4.75, 0.02, ls_method="normal").red_coords)))
+        out["hprom_750_f32_timesteps_per_sec"] = round(steps / el, 1)
+        out["hprom_750_mesh_n_e"] = int(mesh.n_sample)
+        _stderr(f"bench: HPROM 750^2 f32 (N_e={mesh.n_sample}): "
+                f"{el:.3f}s / {steps} steps")
+        if fom_rate_750:
+            out["hprom_750_vs_own_fom_speedup"] = round(
+                (steps / el) / fom_rate_750, 1)
     return out
 
 

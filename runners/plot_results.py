@@ -111,7 +111,10 @@ def plot_model_comparison(results_files, out="rom_comparison.png"):
     merged from all rom_results*.npz archives."""
     data = {}
     for rf in results_files:
-        if os.path.exists(rf):
+        # the fine archive reuses the coarse key names (prom_4.75_0.02,
+        # ...) at a different resolution — merging it here would silently
+        # overwrite the coarse rows; it gets its own speedup figure
+        if os.path.exists(rf) and "fine" not in rf:
             data.update(dict(np.load(rf)))
     models = sorted({k.rsplit("_", 2)[0] for k in data} - {"fom"})
     mus = sorted({"_".join(k.rsplit("_", 2)[1:]) for k in data
@@ -209,14 +212,15 @@ def plot_fields(num_cells, num_steps, animate=False):
 
 
 def main(results=("rom_results.npz", "rom_results_hprom.npz",
-                  "rom_results_ae.npz"),
+                  "rom_results_fine.npz", "rom_results_ae.npz"),
          num_cells=None, num_steps=None, slices=True, fields=False,
          animate=False):
     setup_jax()
     for rf in results:
         # the AE archive is at its 50^2 reference scale: a speedup bar
         # against the 250^2 FOM would be meaningless; it still joins
-        # the error-comparison figure
+        # the error-comparison figure. The fine (750^2) archive carries
+        # its own FOM baseline rows, so its bars stay apples-to-apples.
         if os.path.exists(rf) and "ae" not in rf:
             plot_speedups(rf, rf.replace(".npz", "_speedup.png"))
     plot_model_comparison(results)
