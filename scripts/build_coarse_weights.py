@@ -33,7 +33,12 @@ from run_hprom import build_hprom_weights, hprom_weights_path  # noqa: E402
 methods = sys.argv[1:] or ["nnls", "ecm", "multilevel", "sequential"]
 cfg = default_config()
 grid, w0 = make_problem(cfg)
-basis = get_or_build_basis(cfg, grid, w0, 95)
+# build the CANONICAL 150-mode basis (the closure pipelines' num_total)
+# and slice: a later train_closures run must not rebuild/overwrite
+# basis.npy with different leading columns than the weights were
+# trained against (rSVD at 95 vs 150 modes samples different random
+# projections)
+basis = get_or_build_basis(cfg, grid, w0, 150)[:, :95]
 
 for method in methods:
     path = hprom_weights_path(cfg, method)
