@@ -333,12 +333,29 @@ def main():
     cfg = default_config(a.num_cells, a.num_steps)
     grid, w0 = make_problem(cfg)
 
+    # a TPU-worker crash mid-run (JaxRuntimeError UNAVAILABLE) poisons
+    # the interpreter for its whole lifetime (CLAUDE.md): on infra
+    # failures, re-exec fresh and resume via skip-if-done. A model that
+    # infra-fails 3 times is abandoned so one bad program can't loop
+    # the campaign forever.
+    fails = dict(kv.split(":") for kv in
+                 os.environ.get("RECORD_FAILS", "").split(",") if kv)
+
+    def infra_error(e):
+        s = f"{type(e).__name__}: {e}"
+        return any(t in s for t in (
+            "UNAVAILABLE", "crashed or restarted", "DEADLINE",
+            "not in the list of known backends", "INTERNAL"))
+
     for model in a.models:
         hyper = "hprom" in model or model.startswith("hrnm")
         out = a.out or ("rom_results_hprom.npz" if hyper
                         else "rom_results.npz")
         if not a.redo and have(out, model):
             print(f"=== {model}: all points recorded, skipping ===")
+            continue
+        if int(fails.get(model, 0)) >= 3:
+            print(f"=== {model}: abandoned after 3 infra failures ===")
             continue
         print(f"=== {model} -> {out} ===", flush=True)
         t0 = time.time()
@@ -352,6 +369,18 @@ def main():
             print(f"!!! {model} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}")
             traceback.print_exc()
+            if infra_error(e):
+                n = int(os.environ.get("RECORD_REEXEC", "0"))
+                if n < 20:
+                    fails[model] = str(int(fails.get(model, 0)) + 1)
+                    os.environ["RECORD_FAILS"] = ",".join(
+                        f"{k}:{v}" for k, v in fails.items())
+                    os.environ["RECORD_REEXEC"] = str(n + 1)
+                    print(f"record: infra failure; re-exec "
+                          f"{n + 1}/20 in 90s", flush=True)
+                    time.sleep(90)
+                    os.execv(sys.executable,
+                             [sys.executable] + sys.argv)
         print(f"=== {model} done in {time.time() - t0:.0f}s ===",
               flush=True)
 
