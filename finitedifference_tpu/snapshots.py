@@ -51,18 +51,27 @@ def load_or_compute_snaps(mu, grid: Grid2D, w0, dt, num_steps,
     os.makedirs(snap_folder, exist_ok=True)
     snap_fn = param_to_snap_fn(mu, snap_folder=snap_folder)
     if snap_fn in get_saved_params(snap_folder=snap_folder):
-        cached = np.load(snap_fn)[:, : num_steps + 1]
-        # the filename protocol (byte-identical to the reference's) does
-        # not encode the stored dtype, so a trajectory cached by an f32
-        # pipeline could silently feed a full-precision consumer: warn
-        # loudly on mismatch instead (ADVICE r2)
-        expected = np.dtype(snaps_dtype if snaps_dtype is not None
-                            else np.float64)
-        if cached.dtype != expected:
-            print(f"WARNING: cached snapshot {snap_fn} is {cached.dtype} "
-                  f"but the caller expects {expected.name} — delete the "
-                  f"file to recompute at full precision")
-        return cached
+        cached = np.load(snap_fn)
+        # the filename protocol (byte-identical to the reference's)
+        # encodes only mu, not num_steps: a cache written by a shorter
+        # run cannot serve a longer one — fall through and recompute
+        # (the longer trajectory overwrites the cache; a LONGER cache is
+        # fine, its prefix is the same trajectory and is sliced below)
+        if cached.shape[1] >= num_steps + 1:
+            cached = cached[:, : num_steps + 1]
+            # the filename also does not encode the stored dtype, so a
+            # trajectory cached by an f32 pipeline could silently feed a
+            # full-precision consumer: warn loudly on mismatch (ADVICE r2)
+            expected = np.dtype(snaps_dtype if snaps_dtype is not None
+                                else np.float64)
+            if cached.dtype != expected:
+                print(f"WARNING: cached snapshot {snap_fn} is "
+                      f"{cached.dtype} but the caller expects "
+                      f"{expected.name} — delete the file to recompute "
+                      f"at full precision")
+            return cached
+        print(f"cached snapshot {snap_fn} has {cached.shape[1] - 1} steps "
+              f"< requested {num_steps} — recomputing")
 
     t0 = time.time()
     if jax.default_backend() != "cpu":

@@ -91,6 +91,15 @@ class TestSnapshots:
         # truncated reload
         s3 = load_or_compute_snaps(MU, grid, w0, DT, 2, snap_folder=folder)
         np.testing.assert_array_equal(s3, s1[:, :3])
+        # a cache written by a SHORTER run cannot serve a longer one:
+        # the filename protocol encodes only mu, so the loader must
+        # detect the short cache, recompute, and re-publish
+        s4 = load_or_compute_snaps(MU, grid, w0, DT, 6, snap_folder=folder)
+        assert s4.shape[1] == 7
+        np.testing.assert_allclose(s4[:, :5], s1, rtol=0, atol=1e-12)
+        # and the refreshed cache now serves the longer request directly
+        s5 = load_or_compute_snaps(MU, grid, w0, DT, 6, snap_folder=folder)
+        np.testing.assert_array_equal(s4, s5)
 
     def test_error_metrics(self):
         rng = np.random.default_rng(0)
