@@ -521,8 +521,7 @@ def fine_rom_metrics(dt, fom_rate_750, steps=500):
     w0 = jnp.ones(grid.state_dim, f32)
     out = {}
 
-    basis = np.load("basis_750x750.npy")[:, :95]
-    basis_d = jnp.asarray(basis, f32)
+    basis_full = np.load("basis_750x750.npy")
 
     def timed(fn, reps=3):
         fn()   # compile + settle
@@ -533,26 +532,37 @@ def fine_rom_metrics(dt, fom_rate_750, steps=500):
             ts.append(time.time() - t0)
         return sorted(ts)[reps // 2]
 
-    el = timed(lambda: float(jnp.sum(lspg_prom(
-        grid, w0, dt, steps, 4.75, 0.02, basis_d,
-        ls_method="normal").red_coords)))
-    out["prom95_750_f32_timesteps_per_sec"] = round(steps / el, 1)
-    _stderr(f"bench: PROM(95) 750^2 f32: {el:.3f}s / {steps} steps")
+    # one PROM/HPROM row per available basis size: 95 is the canonical
+    # reference-parity recipe, 150 the round-3 fine accuracy push
+    for nm in (95, 150):
+        if basis_full.shape[1] < nm:
+            continue
+        basis = basis_full[:, :nm]
+        basis_d = jnp.asarray(basis, f32)
+        el = timed(lambda: float(jnp.sum(lspg_prom(
+            grid, w0, dt, steps, 4.75, 0.02, basis_d,
+            ls_method="normal").red_coords)))
+        out[f"prom{nm}_750_f32_timesteps_per_sec"] = round(steps / el, 1)
+        _stderr(f"bench: PROM({nm}) 750^2 f32: {el:.3f}s / {steps} steps")
 
-    if os.path.exists("ecsw_weights_lspg_750x750.npy"):
-        weights = np.load("ecsw_weights_lspg_750x750.npy")
-        mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
-        y0 = jnp.asarray(basis.T @ np.asarray(w0), f32)
-        el = timed(lambda: float(jnp.sum(ecsw_hprom(
-            grid, mesh, sw.astype(f32), y0, jnp.asarray(basis_aug, f32),
-            dt, steps, 4.75, 0.02, ls_method="normal").red_coords)))
-        out["hprom_750_f32_timesteps_per_sec"] = round(steps / el, 1)
-        out["hprom_750_mesh_n_e"] = int(mesh.n_sample)
-        _stderr(f"bench: HPROM 750^2 f32 (N_e={mesh.n_sample}): "
-                f"{el:.3f}s / {steps} steps")
-        if fom_rate_750:
-            out["hprom_750_vs_own_fom_speedup"] = round(
-                (steps / el) / fom_rate_750, 1)
+        wpath = "ecsw_weights_lspg_750x750.npy" if nm == 95 \
+            else f"ecsw_weights_lspg_{nm}modes_750x750.npy"
+        if os.path.exists(wpath):
+            weights = np.load(wpath)
+            mesh, sw, basis_aug = prepare_hprom(grid, weights, basis)
+            y0 = jnp.asarray(basis.T @ np.asarray(w0), f32)
+            el = timed(lambda: float(jnp.sum(ecsw_hprom(
+                grid, mesh, sw.astype(f32), y0,
+                jnp.asarray(basis_aug, f32),
+                dt, steps, 4.75, 0.02, ls_method="normal").red_coords)))
+            tag = "hprom_750" if nm == 95 else f"hprom{nm}_750"
+            out[f"{tag}_f32_timesteps_per_sec"] = round(steps / el, 1)
+            out[f"{tag}_mesh_n_e"] = int(mesh.n_sample)
+            _stderr(f"bench: HPROM({nm}) 750^2 f32 (N_e={mesh.n_sample}): "
+                    f"{el:.3f}s / {steps} steps")
+            if fom_rate_750:
+                out[f"{tag}_vs_own_fom_speedup"] = round(
+                    (steps / el) / fom_rate_750, 1)
     return out
 
 

@@ -42,6 +42,11 @@ def main():
     p.add_argument("--num-cells", type=int, default=750,
                    help="grid resolution (non-750 for CPU smoke tests)")
     p.add_argument("--num-modes", type=int, default=95)
+    p.add_argument("--snap-stride", type=int, default=10,
+                   help="training-snapshot stride; raise it at larger "
+                        "mode counts to keep C = (pairs*modes, n_cells) "
+                        "f32 inside the 16 GB HBM (150 modes needs "
+                        "stride >= 14: 36*150 x 562500 = 12.2 GB)")
     p.add_argument("--chunk", type=int, default=2,
                    help="snapshots per C-assembly dispatch (bounds HBM)")
     p.add_argument("--subdomains", type=int, default=12)
@@ -77,14 +82,21 @@ def main():
 
     cfg = default_config(a.num_cells, None)
     grid = grid_from_config(cfg)
-    out = res_path(cfg, "ecsw_weights_lspg.npy")
+    # non-default mode counts get their own artifact, matching the
+    # record_tpu_rows convention: ecsw_weights_lspg_150modes_750x750.npy
+    stem = "ecsw_weights_lspg.npy" if a.num_modes == 95 \
+        else f"ecsw_weights_lspg_{a.num_modes}modes.npy"
+    out = res_path(cfg, stem)
     if os.path.exists(out) and not a.redo:
         w = np.load(out)
         print(f"{out} exists (N_e={int((w > 0).sum())}); --redo to rebuild")
         return
 
     w0 = np.ones(grid.state_dim)
-    basis = np.load(res_path(cfg, "basis.npy"))[:, :a.num_modes]
+    # build-or-load; rebuilds the rSVD when the stored basis has fewer
+    # modes than requested (the 150-mode fine campaign)
+    from common import get_or_build_basis
+    basis = get_or_build_basis(cfg, grid, w0, a.num_modes)
     # the reference's single training trajectory + 3-step snapshot
     # pairing (run_HPROM_ecsw_joshua.py:55-66)
     mu_train = (4.25, 0.0225)
@@ -93,8 +105,8 @@ def main():
                                   snap_folder=cfg.snap_folder,
                                   snaps_dtype=jnp.float32)
     t = cfg.num_steps
-    s_now = snaps[:, 3:t:10].astype(np.float32)
-    s_prev = snaps[:, 0:t - 3:10].astype(np.float32)
+    s_now = snaps[:, 3:t:a.snap_stride].astype(np.float32)
+    s_prev = snaps[:, 0:t - 3:a.snap_stride].astype(np.float32)
     del snaps
     print(f"{s_now.shape[1]} snapshot pairs; assembling C on device "
           f"({s_now.shape[1] * a.num_modes} x {grid.n_cells}, "

@@ -49,9 +49,14 @@ def have(out, prefix):
                for m1, m2 in TEST_POINTS)
 
 
-def linear_family(cfg, grid, w0, out, model, f32):
+def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
     """hprom / hprom_ecm / hprom_multilevel / hprom_sequential — and
-    prom / fom — all share compiled programs across points."""
+    prom / fom — all share compiled programs across points.
+
+    num_modes != 95 suffixes the npz keys and the weight artifact (e.g.
+    prom150_*, ecsw_weights_lspg_150modes_750x750.npy) so a larger-basis
+    campaign — the 750^2 accuracy push — never clobbers the canonical
+    95-mode rows."""
     import jax.numpy as jnp
 
     from common import default_ls, get_or_build_basis
@@ -59,6 +64,7 @@ def linear_family(cfg, grid, w0, out, model, f32):
 
     dtype = jnp.float32 if f32 else jnp.float64
     ls_kw = default_ls(f32)
+    ksuf = "" if num_modes == 95 else str(num_modes)
 
     if model == "fom":
         from finitedifference_tpu.fom import (
@@ -77,7 +83,7 @@ def linear_family(cfg, grid, w0, out, model, f32):
             record(out, f"fom_{mu[0]}_{mu[1]}", time.time() - t0, 0.0)
         return
 
-    basis = get_or_build_basis(cfg, grid, w0, 95)
+    basis = get_or_build_basis(cfg, grid, w0, num_modes)
 
     if model == "prom":
         from finitedifference_tpu.rom import lspg_prom, reconstruct
@@ -98,7 +104,8 @@ def linear_family(cfg, grid, w0, out, model, f32):
                                         cfg.num_steps,
                                         snap_folder=cfg.snap_folder)
             rel = 100 * np.linalg.norm(hdm - rom) / np.linalg.norm(hdm)
-            record(out, f"prom_{mu[0]}_{mu[1]}", elapsed, round(rel, 4))
+            record(out, f"prom{ksuf}_{mu[0]}_{mu[1]}", elapsed,
+                   round(rel, 4))
         return
 
     # hyper-reduced linear family
@@ -118,6 +125,15 @@ def linear_family(cfg, grid, w0, out, model, f32):
     else:
         method = model.replace("hprom", "").strip("_") or "nnls"
     wp = hprom_weights_path(cfg, method)
+    if ksuf:
+        # ecsw_weights_lspg[_<method>]_150modes[_750x750].npy
+        stem, ext = os.path.splitext(wp)
+        if cfg.res_suffix and stem.endswith(cfg.res_suffix):
+            stem = stem[: -len(cfg.res_suffix)] \
+                + f"_{num_modes}modes" + cfg.res_suffix
+        else:
+            stem += f"_{num_modes}modes"
+        wp = stem + ext
     if os.path.exists(wp):
         weights = np.load(wp)
     else:
@@ -192,7 +208,8 @@ def linear_family(cfg, grid, w0, out, model, f32):
                                     cfg.num_steps,
                                     snap_folder=cfg.snap_folder)
         rel = 100 * np.linalg.norm(hdm - rom) / np.linalg.norm(hdm)
-        record(out, f"{model}_{mu[0]}_{mu[1]}", elapsed, round(rel, 4))
+        record(out, f"{model}{ksuf}_{mu[0]}_{mu[1]}", elapsed,
+               round(rel, 4))
 
 
 def closure_family(cfg, grid, w0, out, model, f32):
@@ -211,9 +228,24 @@ def closure_family(cfg, grid, w0, out, model, f32):
             weights_path=res_path(cfg, f"ecsw_weights_rnm_{method}.npy"),
             method=method, bc_w=10.0)
         label, prefix = "HRNM", model
-    elif model in ("pod_rbf_hprom", "pod_rbf_hprom_knn"):
+    elif model in ("pod_rbf_hprom", "pod_rbf_hprom_knn",
+                   "pod_rbf_hprom_knn_searched"):
         from run_pod_rbf_global import get_global_rbf, training_warm_q1
-        if model.endswith("knn"):
+        if model == "pod_rbf_hprom_knn_searched":
+            # the repo's own (eps, k) grid search (rbf_train.py) instead
+            # of the reference's hardcoded eps=0.01, k=100 — the same
+            # search that cut the kNN PROM from 5.72% to 1.3-3.5%
+            from finitedifference_tpu.closures.rbf import knn_rbf_closure
+            from finitedifference_tpu.training.rbf_train import (
+                train_knn_rbf_search,
+            )
+            u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10,
+                                                140)
+            m, log = train_knn_rbf_search(q_p, q_s, seed=cfg.seed)
+            print(f"knn search best: {log['best']}")
+            closure = knn_rbf_closure(m)
+            variant = "knn_searched"
+        elif model.endswith("knn"):
             from finitedifference_tpu.closures.rbf import (
                 fit_knn_rbf,
                 knn_rbf_closure,
@@ -246,6 +278,31 @@ def closure_family(cfg, grid, w0, out, model, f32):
             weights_path=res_path(cfg, "ecsw_weights_gp_nnls.npy"),
             method="nnls", bc_w=10.0)
         label, prefix = "POD-GP-HPROM", model
+    elif model == "pod_gp_hprom_pm":
+        # per-mode GP family (closures/gp.py::fit_gp_full_per_mode, the
+        # reference's POD-GP/compute_gp_models.py): one ARD GP per
+        # secondary mode, fit as a single batched host program — beats
+        # the shared-kernel model offline at all 3 points (RESULTS.md)
+        from finitedifference_tpu.closures.gp import gp_closure
+        from finitedifference_tpu.training.gp_train import (
+            load_gp,
+            save_gp,
+            train_gp,
+        )
+        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+        mp = res_path(cfg, "pod_gp_model_per_mode.npz")
+        if os.path.exists(mp):
+            gp = load_gp(mp)
+        else:
+            gp = train_gp(q_p, q_s, noise=1e-6, per_mode="full",
+                          verbose=True)
+            save_gp(gp, mp)
+        closure = gp_closure(gp)
+        weights = closure_ecsw_weights(
+            cfg, grid, w0, u_p, u_s, closure,
+            weights_path=res_path(cfg, "ecsw_weights_gp_pm_nnls.npy"),
+            method="nnls", bc_w=10.0)
+        label, prefix = "POD-GP-HPROM-per-mode", model
     elif model == "rnm":
         from run_rnm import get_rnm_closure
         u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, 10, 140)
@@ -305,6 +362,9 @@ def main():
                         "otherwise)")
     p.add_argument("--num-cells", type=int, default=None)
     p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--num-modes", type=int, default=95,
+                   help="linear-family basis size; != 95 suffixes the "
+                        "npz keys (prom150_*) and the weight artifact")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true")
     p.add_argument("--platform", default=None)
@@ -351,8 +411,10 @@ def main():
         hyper = "hprom" in model or model.startswith("hrnm")
         out = a.out or ("rom_results_hprom.npz" if hyper
                         else "rom_results.npz")
-        if not a.redo and have(out, model):
-            print(f"=== {model}: all points recorded, skipping ===")
+        ksuf = "" if a.num_modes == 95 else str(a.num_modes)
+        key = model + ksuf if model in LINEAR else model
+        if not a.redo and have(out, key):
+            print(f"=== {key}: all points recorded, skipping ===")
             continue
         if int(fails.get(model, 0)) >= 3:
             print(f"=== {model}: abandoned after 3 infra failures ===")
@@ -361,7 +423,8 @@ def main():
         t0 = time.time()
         try:
             if model in LINEAR:
-                linear_family(cfg, grid, w0, out, model, a.f32)
+                linear_family(cfg, grid, w0, out, model, a.f32,
+                              num_modes=a.num_modes)
             else:
                 closure_family(cfg, grid, w0, out, model, a.f32)
         except Exception as e:  # noqa: BLE001 — keep recording others
