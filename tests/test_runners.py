@@ -64,6 +64,20 @@ class TestRunnerSmoke:
                                          num_secondary=5, **SMALL)
         assert err < 10.0
 
+    def test_pod_gp_hprom_per_mode(self, runner_cwd):
+        """Per-mode ARD GP closure (reference POD-GP/compute_gp_models.py
+        family) end-to-end through the hyper-reduced runner: retrain with
+        per_mode='full', build ECSW weights with the inner GN coordinate
+        fit, run the sampled-mesh online solve."""
+        import run_pod_gp_hprom
+
+        _, err = run_pod_gp_hprom.main(
+            4.75, 0.02, num_primary=3, num_secondary=5,
+            compute_ecsw=True, bc_w=5.0, retrain=True, per_mode="full",
+            **SMALL)
+        assert np.isfinite(err) and err < 10.0
+        assert os.path.exists("pod_gp_model_12x12.npz")
+
     def test_rnm(self, runner_cwd):
         import run_rnm
 
