@@ -294,8 +294,13 @@ def closure_family(cfg, grid, w0, out, model, f32):
         if os.path.exists(mp):
             gp = load_gp(mp)
         else:
+            # 100 Adam steps: the 140 independent per-mode hyperopts are
+            # cubic in the pair count and this environment has ONE host
+            # core — 300 steps is a multi-hour fit for no measurable
+            # offline gain (scripts/gp_offline_eval.py). Prefer fitting
+            # offline via gp_offline_eval and shipping the file here.
             gp = train_gp(q_p, q_s, noise=1e-6, per_mode="full",
-                          verbose=True)
+                          num_steps=100, verbose=True)
             save_gp(gp, mp)
         closure = gp_closure(gp)
         weights = closure_ecsw_weights(
