@@ -823,19 +823,48 @@ def ecsw_training_matrix_device(grid: Grid2D, snaps, prev_snaps, basis,
     reference's fine workbench OOMs a 24-core node
     (BurgersFD_CleanFine/slurm-55470585.out:1-2).
     """
-    snaps = jnp.asarray(snaps)
-    prev_snaps = jnp.asarray(prev_snaps)
+    return ecsw_training_matrix_device_multi(
+        grid, [(mu1, mu2, snaps, prev_snaps)], basis, dt,
+        chunk=chunk, dtype=dtype)
+
+
+def ecsw_training_matrix_device_multi(grid: Grid2D, groups, basis, dt,
+                                      chunk: int = 2, dtype=jnp.float32):
+    """Device-resident training matrix over MULTIPLE training
+    trajectories: `groups` is a list of (mu1, mu2, snaps, prev_snaps)
+    and the result stacks each group's rows in order — equivalent to
+    vstacking per-mu `ecsw_training_matrix` blocks, assembled into one
+    donated device buffer like the single-mu builder above.
+
+    Rationale: the reference recipe trains the cubature on ONE
+    trajectory (run_HPROM_ecsw_joshua.py:55-66), and at 750^2 the
+    resulting mesh's online error is visibly worse at the test point
+    farthest from that trajectory in mu; spreading the same row budget
+    over several training mu generalizes the sampled mesh (ECSW as
+    published trains over all snapshots). (mu1, mu2) ride as traced
+    scalars, so every group shares one compiled accumulation program.
+    """
     basis = jnp.asarray(basis)
-    s_total = snaps.shape[1]
     k = basis.shape[1]
-    if s_total % chunk:
-        raise ValueError(f"snapshot count {s_total} must divide by "
-                         f"chunk {chunk} (pad/stride the training set)")
+    s_total = 0
+    for _, _, snaps, _ in groups:
+        s = np.asarray(snaps).shape[1]
+        if s % chunk:
+            raise ValueError(f"snapshot count {s} must divide by "
+                             f"chunk {chunk} (pad/stride the "
+                             f"training set)")
+        s_total += s
     C = jnp.zeros((s_total * k, grid.n_cells), dtype)
-    for s in range(0, s_total, chunk):
-        C = _c_accumulate(C, snaps[:, s:s + chunk],
-                          prev_snaps[:, s:s + chunk], basis,
-                          mu1, mu2, dt, jnp.int32(s * k), grid)
+    row_snap = 0
+    for mu1, mu2, snaps, prev_snaps in groups:
+        snaps = jnp.asarray(snaps)
+        prev_snaps = jnp.asarray(prev_snaps)
+        for s in range(0, snaps.shape[1], chunk):
+            C = _c_accumulate(C, snaps[:, s:s + chunk],
+                              prev_snaps[:, s:s + chunk], basis,
+                              mu1, mu2, dt,
+                              jnp.int32((row_snap + s) * k), grid)
+        row_snap += snaps.shape[1]
     return C
 
 

@@ -67,6 +67,14 @@ def main():
     p.add_argument("--fista-iters", type=int, default=4000)
     p.add_argument("--rel-err", type=float, default=1e-4)
     p.add_argument("--ring", default="inflow", choices=["inflow", "full"])
+    p.add_argument("--mu-train", default="single",
+                   choices=["single", "spread"],
+                   help="single: the reference's one-trajectory recipe "
+                        "(4.25, 0.0225). spread: the same row budget "
+                        "split over three training-grid trajectories — "
+                        "generalizes the sampled mesh to test points "
+                        "far from (4.25, 0.0225) in mu (stride is "
+                        "multiplied by the trajectory count)")
     p.add_argument("--redo", action="store_true")
     a = p.parse_args()
 
@@ -98,25 +106,42 @@ def main():
     from common import get_or_build_basis
     basis = get_or_build_basis(cfg, grid, w0, a.num_modes)
     # the reference's single training trajectory + 3-step snapshot
-    # pairing (run_HPROM_ecsw_joshua.py:55-66)
-    mu_train = (4.25, 0.0225)
-    snaps = load_or_compute_snaps(list(mu_train), grid, w0, cfg.dt,
-                                  cfg.num_steps,
-                                  snap_folder=cfg.snap_folder,
-                                  snaps_dtype=jnp.float32)
+    # pairing (run_HPROM_ecsw_joshua.py:55-66); 'spread' divides the
+    # same row budget over three training-grid trajectories
+    if a.mu_train == "single":
+        mu_list = [(4.25, 0.0225)]
+        stride = a.snap_stride
+    else:
+        mu_list = [(4.25, 0.0225), (4.875, 0.015), (5.5, 0.03)]
+        stride = a.snap_stride * len(mu_list)
+    groups = []
     t = cfg.num_steps
-    s_now = snaps[:, 3:t:a.snap_stride].astype(np.float32)
-    s_prev = snaps[:, 0:t - 3:a.snap_stride].astype(np.float32)
-    del snaps
-    print(f"{s_now.shape[1]} snapshot pairs; assembling C on device "
-          f"({s_now.shape[1] * a.num_modes} x {grid.n_cells}, "
-          f"{s_now.shape[1] * a.num_modes * grid.n_cells * 4 / 1e9:.1f} GB "
+    n_pairs = 0
+    for mu in mu_list:
+        snaps = load_or_compute_snaps(list(mu), grid, w0, cfg.dt,
+                                      cfg.num_steps,
+                                      snap_folder=cfg.snap_folder,
+                                      snaps_dtype=jnp.float32)
+        s_now = snaps[:, 3:t:stride].astype(np.float32)
+        s_prev = snaps[:, 0:t - 3:stride].astype(np.float32)
+        del snaps
+        if s_now.shape[1] % a.chunk:
+            keep = s_now.shape[1] - s_now.shape[1] % a.chunk
+            s_now, s_prev = s_now[:, :keep], s_prev[:, :keep]
+        n_pairs += s_now.shape[1]
+        groups.append((mu[0], mu[1], jnp.asarray(s_now),
+                       jnp.asarray(s_prev)))
+    print(f"{n_pairs} snapshot pairs over {len(mu_list)} trajectories; "
+          f"assembling C on device "
+          f"({n_pairs * a.num_modes} x {grid.n_cells}, "
+          f"{n_pairs * a.num_modes * grid.n_cells * 4 / 1e9:.1f} GB "
           f"f32)", flush=True)
     t0 = time.time()
-    C_dev = ecsw_training_matrix_device(
-        grid, jnp.asarray(s_now), jnp.asarray(s_prev),
-        jnp.asarray(basis, jnp.float32), mu_train[0], mu_train[1],
-        cfg.dt, chunk=a.chunk)
+    from finitedifference_tpu.ecsw import ecsw_training_matrix_device_multi
+    C_dev = ecsw_training_matrix_device_multi(
+        grid, groups, jnp.asarray(basis, jnp.float32), cfg.dt,
+        chunk=a.chunk)
+    del groups
     C_dev.block_until_ready()
     print(f"C assembled in {time.time() - t0:.0f}s", flush=True)
 

@@ -440,6 +440,25 @@ class TestHPROMParity:
             dtype=jnp.float64))
         np.testing.assert_allclose(c2, c1, rtol=1e-12)
 
+    def test_device_training_matrix_multi_mu_stacks_groups(self):
+        """Multi-trajectory builder == vstack of per-mu one-shot blocks
+        (the 'spread' fine-weight recipe, build_fine_weights
+        --mu-train spread)."""
+        from finitedifference_tpu.ecsw import (
+            ecsw_training_matrix_device_multi,
+        )
+        grid, ops, xc, w0, basis, s1 = setup_problem(nx=10, ny=10,
+                                                     num_steps=10, k=6)
+        s, p = s1[:, 3::2], s1[:, 0:-3:2]
+        mus = [(4.25, 0.0225), (5.5, 0.03)]
+        want = np.vstack([np.asarray(ecsw_training_matrix(
+            grid, jnp.asarray(s), jnp.asarray(p), jnp.asarray(basis),
+            m1, m2, DT)) for m1, m2 in mus])
+        got = np.asarray(ecsw_training_matrix_device_multi(
+            grid, [(m1, m2, s, p) for m1, m2 in mus], basis, DT,
+            chunk=2, dtype=jnp.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
     def test_device_multilevel_hprom_parity(self):
         """The fully device-resident fine-grid recipe (device C, device
         FISTA screening, host Gram-LH level 2) must drive the HPROM as
