@@ -77,8 +77,7 @@ def ecsw_training_matrix_closure(grid: Grid2D, snaps, prev_snaps,
     prev_snaps = np.asarray(prev_snaps)
     n = grid.n_cells
 
-    @jax.jit
-    def one(snap, prev):
+    def one_raw(snap, prev):
         y = fit_y0(snap)
         w = decode(y)
         v = dec_jac(y, w)
@@ -86,8 +85,19 @@ def ecsw_training_matrix_closure(grid: Grid2D, snaps, prev_snaps,
         jv = jacobian_times_basis(w, v, dt, grid)
         return (jv[:n] * f[:n, None] + jv[n:] * f[n:, None]).T
 
+    # the decode/dec_jac closures capture the POD blocks (u_p, u_s) —
+    # jit would embed them as lowering-time constants, and at 750^2 the
+    # serialized program (u_s alone is ~1.3 GB f64) exceeds what this
+    # environment's remote compile service accepts (HTTP 413).
+    # closure_convert hoists every captured array into a runtime
+    # argument, so the program ships small and the blocks ride as
+    # ordinary device buffers.
+    ex = (jnp.asarray(snaps[:, 0]), jnp.asarray(prev_snaps[:, 0]))
+    converted, consts = jax.closure_convert(one_raw, *ex)
+    one = jax.jit(converted)
+
     rows = [np.asarray(one(jnp.asarray(snaps[:, i]),
-                           jnp.asarray(prev_snaps[:, i])))
+                           jnp.asarray(prev_snaps[:, i]), *consts))
             for i in range(snaps.shape[1])]
     return np.vstack(rows)
 
