@@ -37,7 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-KP = 128          # padded mode axis (lanes)
+KP = 128          # lane tile: the mode axis pads to a multiple of this.
+# k + 1 <= 128 fits one lane tile (the canonical 95-mode runs); larger
+# bases (the 150-mode fine campaign) pad to 256 lanes — Mosaic handles
+# multi-tile lane axes natively, the dots just span two MXU passes.
 # f32 dots must force HIGHEST precision: the MXU's DEFAULT f32 path
 # multiplies in single-pass bf16 (8-bit mantissa), which wrecked the
 # hardware trajectories at 6-11% error while interpret-mode parity
@@ -50,7 +53,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
+def _make_kernel(k: int, tile: int, hdx: float, hdy: float,
+                 kp: int = KP):
     hdx = np.float32(hdx)
     hdy = np.float32(hdy)
     qdx = np.float32(0.5 * hdx)
@@ -104,7 +108,7 @@ def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
             + cv4 * p6_ref[4] + cv5 * p6_ref[5]
 
         # weighted residual into lane k (basis lanes >= k are zero)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, KP), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
         au = jnp.where(lane == k, ru * wgt, ju)
         av = jnp.where(lane == k, rv * wgt, jv)
 
@@ -122,7 +126,7 @@ def _make_kernel(k: int, tile: int, hdx: float, hdy: float):
 
 
 def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
-                      solve_iters: int):
+                      solve_iters: int, kp: int = KP):
     """System kernel + in-VMEM CG epilogue, so one Gauss-Newton
     iteration is ONE kernel dispatch total.
 
@@ -131,7 +135,7 @@ def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
     output block (row 0 = dy, row 1 lane 0 = ||Wr||): Mosaic lowers
     full-lane row blocks reliably where (KP, 1) / (1, 1) outputs are
     fragile."""
-    base = _make_kernel(k, tile, hdx, hdy)
+    base = _make_kernel(k, tile, hdx, hdy, kp)
     f32 = jnp.float32
 
     def kernel(p6_ref, y_ref, cp_ref, wgt_ref, out_ref, acc_ref):
@@ -142,17 +146,17 @@ def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _():
             g = acc_ref[...]
-            row = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
             # mask the residual row/col out of the solve: rows/cols > k
             # are zero already (zero basis lanes), row/col k carries
             # [J^T W^2 r | ||Wr||^2]
             g_s = jnp.where(jnp.logical_or(row == k, col == k),
                             f32(0.0), g)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
             b = jnp.where(lane == k, f32(0.0), -g[k:k + 1, :])
 
-            x = jnp.zeros((1, KP), f32)
+            x = jnp.zeros((1, kp), f32)
             r = b
             p = r
             rs = jnp.sum(r * r)
@@ -178,7 +182,7 @@ def _make_step_kernel(k: int, tile: int, hdx: float, hdy: float,
                                jnp.sqrt(g[k:k + 1, k:k + 1]), f32(0.0))
             out_ref[0:1, :] = x
             out_ref[1:2, :] = rn_row
-            out_ref[2:8, :] = jnp.zeros((6, KP), f32)
+            out_ref[2:8, :] = jnp.zeros((6, kp), f32)
 
     return kernel
 
@@ -201,33 +205,34 @@ def gn_step_pallas(p6p, y, cp, wgt_p, k: int, hdx: float, hdy: float,
 def _gn_step_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, *, tile,
                     solve_iters, interpret):
     f32 = jnp.float32
-    n_p = p6p.shape[1]
-    y_pad = jnp.zeros((KP, 1), f32).at[:k, 0].set(y.astype(f32))
-    kernel = _make_step_kernel(k, tile, hdx, hdy, solve_iters)
+    n_p, kp = p6p.shape[1], p6p.shape[2]
+    y_pad = jnp.zeros((kp, 1), f32).at[:k, 0].set(y.astype(f32))
+    kernel = _make_step_kernel(k, tile, hdx, hdy, solve_iters, kp)
     return pl.pallas_call(
         kernel,
         grid=(n_p // tile,),
         in_specs=[
-            pl.BlockSpec((6, tile, KP), lambda i: (0, i, 0),
+            pl.BlockSpec((6, tile, kp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KP, 1), lambda i: (0, 0),
+            pl.BlockSpec((kp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, KP), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((8, kp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, KP), f32),
-        scratch_shapes=[pltpu.VMEM((KP, KP), f32)],
+        out_shape=jax.ShapeDtypeStruct((8, kp), f32),
+        scratch_shapes=[pltpu.VMEM((kp, kp), f32)],
         interpret=interpret,
     )(p6p.astype(f32), y_pad, cp.astype(f32), wgt_p.astype(f32))
 
 
 def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
                       num_steps: int, unroll_its: int, solve_iters: int,
-                      relnorm_cutoff: float, min_delta: float):
+                      relnorm_cutoff: float, min_delta: float,
+                      kp: int = KP):
     """Whole-trajectory kernel: the ENTIRE num_steps x unroll_its
     Gauss-Newton time integration in ONE kernel dispatch.
 
@@ -258,10 +263,10 @@ def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
     def kernel(p6_ref, y0_ref, slbc_ref, wgt_ref, ys_ref, stats_ref):
         wgt = wgt_ref[...]                    # (n_p, 1)
         slbc = slbc_ref[...]                  # (n_p, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n_p, KP), 1)
-        glane = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
-        grow = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_p, kp), 1)
+        glane = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+        grow = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
 
         def dot_y(p, y):
             # (n_p, KP) x (1, KP) contracted on lanes -> (n_p, 1)
@@ -288,7 +293,7 @@ def _make_traj_kernel(k: int, n_p: int, hdx: float, hdy: float,
             g_s = jnp.where(jnp.logical_or(grow == k, gcol == k),
                             f32(0.0), g)
             b = jnp.where(glane == k, f32(0.0), -g[k:k + 1, :])
-            x = jnp.zeros((1, KP), f32)
+            x = jnp.zeros((1, kp), f32)
             r = b
             p = r
             rs = jnp.sum(r * r)
@@ -406,17 +411,18 @@ def _trajectory_hprom_pallas(p6p, y0, slbc_p, wgt_p, k, hdx, hdy,
                              num_steps, *, unroll_its, solve_iters,
                              relnorm_cutoff, min_delta, interpret):
     f32 = jnp.float32
-    n_p = p6p.shape[1]
-    y0_row = jnp.zeros((1, KP), f32).at[0, :k].set(y0.astype(f32))
+    n_p, kp = p6p.shape[1], p6p.shape[2]
+    y0_row = jnp.zeros((1, kp), f32).at[0, :k].set(y0.astype(f32))
     kernel = _make_traj_kernel(k, n_p, hdx, hdy, num_steps, unroll_its,
-                               solve_iters, relnorm_cutoff, min_delta)
+                               solve_iters, relnorm_cutoff, min_delta,
+                               kp)
     return pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((6, n_p, KP), lambda i: (0, 0, 0),
+            pl.BlockSpec((6, n_p, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KP), lambda i: (0, 0),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_p, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -424,14 +430,14 @@ def _trajectory_hprom_pallas(p6p, y0, slbc_p, wgt_p, k, hdx, hdy,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((num_steps, KP), lambda i: (0, 0),
+            pl.BlockSpec((num_steps, kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, KP), lambda i: (0, 0),
+            pl.BlockSpec((8, kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((num_steps, KP), f32),
-            jax.ShapeDtypeStruct((8, KP), f32),
+            jax.ShapeDtypeStruct((num_steps, kp), f32),
+            jax.ShapeDtypeStruct((8, kp), f32),
         ],
         # the whole-trajectory kernel's live set (six (n_p, KP) blocks +
         # unrolled GN temporaries + the (num_steps, KP) output) exceeds
@@ -447,16 +453,17 @@ def _trajectory_hprom_pallas(p6p, y0, slbc_p, wgt_p, k, hdx, hdy,
 def pad_factored_inputs(p6, wgt, tile: int = 256):
     """Pad (6, n_s, k) blocks and (n_s,) weights for the kernel.
 
-    Returns (p6p (6, n_p, KP) f32, wgt_p (n_p, 1) f32) with n_p a tile
-    multiple; padded cells carry weight 0 and zero basis rows.
+    Returns (p6p (6, n_p, kp) f32, wgt_p (n_p, 1) f32) with n_p a tile
+    multiple and kp = k + 1 rounded up to a 128-lane multiple (the
+    residual occupies lane k); padded cells carry weight 0 and zero
+    basis rows.
     """
     p6 = np.asarray(p6, np.float32)
     wgt = np.asarray(wgt, np.float32)
     _, n_s, k = p6.shape
-    if k > KP - 1:
-        raise ValueError(f"k={k} needs k+1 <= {KP} lanes")
+    kp = _round_up(k + 1, KP)
     n_p = _round_up(n_s, tile)
-    p6p = np.zeros((6, n_p, KP), np.float32)
+    p6p = np.zeros((6, n_p, kp), np.float32)
     p6p[:, :n_s, :k] = p6
     wgt_p = np.zeros((n_p, 1), np.float32)
     wgt_p[:n_s, 0] = wgt
@@ -484,25 +491,25 @@ def gn_system_pallas(p6p, y, cp, wgt_p, k: int, hdx: float, hdy: float,
 def _gn_system_pallas(p6p, y, cp, wgt_p, k, hdx, hdy, *, tile,
                       interpret):
     f32 = jnp.float32
-    n_p = p6p.shape[1]
-    y_pad = jnp.zeros((KP, 1), f32).at[:k, 0].set(y.astype(f32))
-    kernel = _make_kernel(k, tile, hdx, hdy)
+    n_p, kp = p6p.shape[1], p6p.shape[2]
+    y_pad = jnp.zeros((kp, 1), f32).at[:k, 0].set(y.astype(f32))
+    kernel = _make_kernel(k, tile, hdx, hdy, kp)
     return pl.pallas_call(
         kernel,
         grid=(n_p // tile,),
         in_specs=[
-            pl.BlockSpec((6, tile, KP), lambda i: (0, i, 0),
+            pl.BlockSpec((6, tile, kp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KP, 1), lambda i: (0, 0),
+            pl.BlockSpec((kp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((KP, KP), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((kp, kp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((KP, KP), f32),
-        scratch_shapes=[pltpu.VMEM((KP, KP), f32)],
+        out_shape=jax.ShapeDtypeStruct((kp, kp), f32),
+        scratch_shapes=[pltpu.VMEM((kp, kp), f32)],
         interpret=interpret,
     )(p6p.astype(f32), y_pad, cp.astype(f32), wgt_p.astype(f32))

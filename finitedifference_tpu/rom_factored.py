@@ -284,17 +284,16 @@ def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
     gn_step_pallas): one kernel dispatch per Gauss-Newton iteration.
     """
     from finitedifference_tpu.ops.pallas_gn import (
-        KP,
         gn_step_pallas,
         gn_system_pallas,
     )
 
     f32 = jnp.float32
     y0 = jnp.asarray(y0, f32)
-    n_p = p6p.shape[1]
+    n_p, kp = p6p.shape[1], p6p.shape[2]
     n_s = mesh.n_sample
     k = y0.shape[0]
-    p_flat = p6p.reshape(6 * n_p, KP)
+    p_flat = p6p.reshape(6 * n_p, kp)
 
     hdx = float(0.5 * dt / grid.dx)
     hdy = float(0.5 * dt / grid.dy)
@@ -308,7 +307,7 @@ def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
     wgt = wgt_p[:, 0]
 
     def scalars(y):
-        y_pad = jnp.zeros((KP,), f32).at[:k].set(y)
+        y_pad = jnp.zeros((kp,), f32).at[:k].set(y)
         hi = jax.lax.Precision.HIGHEST
         return jnp.matmul(p_flat, y_pad, precision=hi).reshape(6, n_p)
 

@@ -276,3 +276,59 @@ def test_pallas_traj_sweep_matches_per_point(mesh_problem):
         np.testing.assert_allclose(np.asarray(out[i]),
                                    np.asarray(ref.red_coords),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_multitile_lane_axis_k150():
+    """k=150 pads the mode axis to 256 lanes (two lane tiles): the
+    fused system kernel and the whole-trajectory kernel must match the
+    generic ecsw_hprom on a 150-column basis — the 150-mode fine-grid
+    campaign's configuration, which the old hard KP=128 cap rejected.
+
+    Needs its own grid: the sampled Gauss-Newton is well-posed only
+    when 2 * n_sample > k + 1 (the fixture's 40-cell mesh gives a rank-
+    deficient Gram at k=150 and every solver disagrees on the null
+    space)."""
+    from finitedifference_tpu.grid import Grid2D
+    from finitedifference_tpu.rom import ecsw_hprom, prepare_hprom
+    from finitedifference_tpu.rom_factored import (
+        pallas_hprom,
+        pallas_traj_hprom,
+        precompute_factored_blocks,
+        precompute_pallas_system,
+    )
+
+    grid = Grid2D(nx=24, ny=24, x_up=100.0, y_up=100.0)
+    k, steps = 150, 6
+    rng = np.random.default_rng(11)
+    # random orthonormal 150-mode basis over the (2 * n_cells) state
+    q, _ = np.linalg.qr(rng.normal(size=(grid.state_dim, k)))
+    weights = np.zeros(grid.n_cells)
+    chosen = rng.choice(grid.n_cells, size=220, replace=False)
+    weights[chosen] = 1.0 + rng.uniform(size=220)
+    mesh, sw, basis_aug = prepare_hprom(grid, weights, q)
+
+    f32 = jnp.float32
+    ba = jnp.asarray(basis_aug, f32)
+    w0 = np.ones(grid.state_dim)
+    y0f = jnp.asarray(q.T @ w0, f32)
+    swf = sw.astype(f32)
+
+    ref = ecsw_hprom(grid, mesh, swf, y0f, ba, DT, steps, MU[0], MU[1],
+                     ls_method="normal")
+
+    blocks = precompute_factored_blocks(mesh, ba)
+    p6p, wgt_p = precompute_pallas_system(blocks, swf, tile=8)
+    assert p6p.shape[2] == 256  # two lane tiles
+
+    res = pallas_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
+                       MU[0], MU[1], tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(res.red_coords),
+                               np.asarray(ref.red_coords),
+                               rtol=5e-4, atol=5e-6)
+
+    traj = pallas_traj_hprom(grid, mesh, p6p, wgt_p, y0f, DT, steps,
+                             MU[0], MU[1], unroll_its=3, interpret=True)
+    rel = np.linalg.norm(np.asarray(traj.red_coords)
+                         - np.asarray(ref.red_coords)) / \
+        np.linalg.norm(np.asarray(ref.red_coords))
+    assert rel < 1e-4
