@@ -88,13 +88,22 @@ def ecsw_training_matrix_closure(grid: Grid2D, snaps, prev_snaps,
     # the decode/dec_jac closures capture the POD blocks (u_p, u_s) —
     # jit would embed them as lowering-time constants, and at 750^2 the
     # serialized program (u_s alone is ~1.3 GB f64) exceeds what this
-    # environment's remote compile service accepts (HTTP 413).
-    # closure_convert hoists every captured array into a runtime
-    # argument, so the program ships small and the blocks ride as
-    # ordinary device buffers.
+    # environment's remote compile service accepts (HTTP 413: measured
+    # 1.44 GB of stablehlo at 750^2/150 modes). jax.closure_convert
+    # does NOT help here — it only hoists closed-over *tracers*, and
+    # concrete numpy/jax arrays stay jaxpr consts (measured: 0 hoisted).
+    # Instead, trace once to a jaxpr and bind its consts as runtime
+    # arguments ourselves: the program ships small (~KBs) and every
+    # captured block rides as an ordinary device buffer.
+    from jax import core as jcore
+
     ex = (jnp.asarray(snaps[:, 0]), jnp.asarray(prev_snaps[:, 0]))
-    converted, consts = jax.closure_convert(one_raw, *ex)
-    one = jax.jit(converted)
+    closed = jax.make_jaxpr(one_raw)(*ex)
+    consts = [jnp.asarray(c) for c in closed.consts]
+
+    @jax.jit
+    def one(snap, prev, *cs):
+        return jcore.eval_jaxpr(closed.jaxpr, cs, snap, prev)[0]
 
     rows = [np.asarray(one(jnp.asarray(snaps[:, i]),
                            jnp.asarray(prev_snaps[:, i]), *consts))
