@@ -246,16 +246,22 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1=None, mu2=None, *,
     from finitedifference_tpu.rom import make_manifold_stepper
     from finitedifference_tpu.snapshots import load_or_compute_snaps
 
-    # On TPU the online STATE runs f32 (f64 is emulated ~20x slower and
-    # has crashed the axon worker on full-size programs); the closure
-    # cores still evaluate in f64 through the precision bridge
+    # On TPU a FULL-MESH online state runs f32 (f64 is emulated ~20x
+    # slower and has crashed the axon worker on full-size programs); the
+    # closure cores still evaluate in f64 through the precision bridge
     # (closures/rbf.py::global_rbf_closure — their contractions cancel
     # by ~5e5 and are meaningless in f32), and basis GEMMs force
-    # true-f32 accumulation (precision.py). CPU keeps full f64,
+    # true-f32 accumulation (precision.py). SAMPLED (hyper-reduced)
+    # runs keep f64 everywhere: their whole program is a few thousand
+    # gathered rows, and at 750^2 the f32 sampled state demonstrably
+    # biases the Gauss-Newton trajectory (27% vs 9.9% at (5.19,0.026),
+    # scripts/fine_closure_probe.py). CPU keeps full f64,
     # reference-faithful. Round-1's host-CPU fallback is gone.
     on_tpu = jax.default_backend() != "cpu"
-    dtype = jnp.float32 if (f32 or on_tpu) else jnp.float64
-    if on_tpu and not f32:
+    full_mesh = weights_full is None
+    dtype = jnp.float32 if (f32 or (on_tpu and full_mesh)) \
+        else jnp.float64
+    if on_tpu and not f32 and full_mesh:
         print("note: online state in f32 on TPU (closure cores stay f64)")
 
     single = points is None
@@ -273,6 +279,11 @@ def run_manifold(cfg, grid, w0, u_p, u_s, closure, mu1=None, mu2=None, *,
         num_steps = cfg.num_steps - 1
 
     ls_kw = default_ls(f32)
+    if not full_mesh and dtype == jnp.float64 and on_tpu:
+        # sampled f64 runs keep the LS in f64 as well — the system is
+        # (N_e x n_p), tiny, and a Cholesky normal-equations solve is
+        # axon-safe at f64 (the f64 restriction is LU/lstsq)
+        ls_kw = {"ls_dtype": None, "ls_method": "normal"}
     if weights_full is None:
         fused = manifold_decoder_fused(u_p_d, u_s_d, closure)
         run = make_manifold_stepper(grid, decode_full, dec_jac_full,

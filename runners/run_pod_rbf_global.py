@@ -54,6 +54,11 @@ def get_global_rbf(cfg, grid, w0, num_primary, num_secondary,
     if model_path is None:
         stem = MODEL_PATH if search == "grid" \
             else MODEL_PATH.replace(".npz", f"_{search}.npz")
+        if num_primary != 10:
+            # non-default split gets its own artifact (the reference
+            # explores 20 primary modes at 750^2 in its fine
+            # POD-RBF_global_20/ directory tree)
+            stem = stem.replace(".npz", f"_p{num_primary}.npz")
         model_path = res_path(cfg, stem)
     if retrain or not os.path.exists(model_path):
         model, log = trainers[search](q_p, q_s, seed=cfg.seed,

@@ -212,20 +212,29 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
                round(rel, 4))
 
 
-def closure_family(cfg, grid, w0, out, model, f32):
-    """Manifold-closure models over one shared run_manifold stepper."""
+def closure_family(cfg, grid, w0, out, model, f32, n_p=10):
+    """Manifold-closure models over one shared run_manifold stepper.
+
+    n_p: primary-mode count of the 150-mode split (default 10; the
+    reference explores 20 at 750^2, POD-RBF_global_20/). Non-default
+    splits suffix every model/weight artifact with _p{n_p}; npz row
+    keys are unchanged, so a better split replaces the shipped row.
+    """
     from common import closure_ecsw_weights, res_path, run_manifold, \
         split_training
 
+    n_s = 150 - n_p
+    sfx = "" if n_p == 10 else f"_p{n_p}"
     kwargs = {}
     weights = None
     if model in ("hrnm", "hrnm_ecm"):
         from run_rnm import get_rnm_closure
         method = "ecm" if model.endswith("ecm") else "nnls"
-        u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, 10, 140)
+        u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, n_p, n_s)
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
-            weights_path=res_path(cfg, f"ecsw_weights_rnm_{method}.npy"),
+            weights_path=res_path(
+                cfg, f"ecsw_weights_rnm_{method}{sfx}.npy"),
             method=method, bc_w=10.0)
         label, prefix = "HRNM", model
     elif model in ("pod_rbf_hprom", "pod_rbf_hprom_knn",
@@ -239,8 +248,8 @@ def closure_family(cfg, grid, w0, out, model, f32):
             from finitedifference_tpu.training.rbf_train import (
                 train_knn_rbf_search,
             )
-            u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10,
-                                                140)
+            u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150,
+                                                n_p, n_s)
             m, log = train_knn_rbf_search(q_p, q_s, seed=cfg.seed)
             print(f"knn search best: {log['best']}")
             closure = knn_rbf_closure(m)
@@ -250,18 +259,18 @@ def closure_family(cfg, grid, w0, out, model, f32):
                 fit_knn_rbf,
                 knn_rbf_closure,
             )
-            u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10,
-                                                140)
+            u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150,
+                                                n_p, n_s)
             m = fit_knn_rbf(q_p, q_s, 0.01, min(100, q_p.shape[0]))
             closure = knn_rbf_closure(m)
             variant = "knn"
         else:
-            u_p, u_s, closure = get_global_rbf(cfg, grid, w0, 10, 140)
+            u_p, u_s, closure = get_global_rbf(cfg, grid, w0, n_p, n_s)
             variant = "global"
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
             weights_path=res_path(
-                cfg, f"ecsw_weights_rbf_{variant}_nnls.npy"),
+                cfg, f"ecsw_weights_rbf_{variant}{sfx}_nnls.npy"),
             method="nnls", bc_w=10.0)
         label, prefix = f"POD-RBF-HPROM-{variant}", model
         if model == "pod_rbf_hprom":
@@ -270,12 +279,13 @@ def closure_family(cfg, grid, w0, out, model, f32):
         import run_pod_gp_hprom
         from finitedifference_tpu.closures.gp import gp_closure
         from finitedifference_tpu.training.gp_train import load_gp
-        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p,
+                                            n_s)
         gp = load_gp(res_path(cfg, run_pod_gp_hprom.MODEL_PATH))
         closure = gp_closure(gp)
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
-            weights_path=res_path(cfg, "ecsw_weights_gp_nnls.npy"),
+            weights_path=res_path(cfg, f"ecsw_weights_gp{sfx}_nnls.npy"),
             method="nnls", bc_w=10.0)
         label, prefix = "POD-GP-HPROM", model
     elif model == "pod_gp_hprom_pm":
@@ -289,8 +299,9 @@ def closure_family(cfg, grid, w0, out, model, f32):
             save_gp,
             train_gp,
         )
-        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
-        mp = res_path(cfg, "pod_gp_model_per_mode.npz")
+        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p,
+                                            n_s)
+        mp = res_path(cfg, f"pod_gp_model_per_mode{sfx}.npz")
         if os.path.exists(mp):
             gp = load_gp(mp)
         else:
@@ -305,16 +316,17 @@ def closure_family(cfg, grid, w0, out, model, f32):
         closure = gp_closure(gp)
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
-            weights_path=res_path(cfg, "ecsw_weights_gp_pm_nnls.npy"),
+            weights_path=res_path(
+                cfg, f"ecsw_weights_gp_pm{sfx}_nnls.npy"),
             method="nnls", bc_w=10.0)
         label, prefix = "POD-GP-HPROM-per-mode", model
     elif model == "rnm":
         from run_rnm import get_rnm_closure
-        u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, 10, 140)
+        u_p, u_s, closure = get_rnm_closure(cfg, grid, w0, n_p, n_s)
         label, prefix = "RNM", "rnm"
     elif model == "pod_rbf_global":
         from run_pod_rbf_global import get_global_rbf, training_warm_q1
-        u_p, u_s, closure = get_global_rbf(cfg, grid, w0, 10, 140)
+        u_p, u_s, closure = get_global_rbf(cfg, grid, w0, n_p, n_s)
         kwargs["warm_q1"] = training_warm_q1(cfg, grid, w0, u_p)
         label, prefix = "POD-RBF-global", "pod_rbf_global"
     elif model in ("pod_rbf", "pod_rbf_searched"):
@@ -322,7 +334,8 @@ def closure_family(cfg, grid, w0, out, model, f32):
             fit_knn_rbf,
             knn_rbf_closure,
         )
-        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+        u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p,
+                                            n_s)
         if model == "pod_rbf_searched":
             from finitedifference_tpu.training.rbf_train import (
                 train_knn_rbf_search,
@@ -370,6 +383,11 @@ def main():
     p.add_argument("--num-modes", type=int, default=95,
                    help="linear-family basis size; != 95 suffixes the "
                         "npz keys (prom150_*) and the weight artifact")
+    p.add_argument("--num-primary", type=int, default=10,
+                   help="closure-family primary-mode count of the "
+                        "150-mode split; != 10 suffixes model/weight "
+                        "artifacts with _p{n} (reference explores 20 "
+                        "at 750^2: POD-RBF_global_20/)")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true")
     p.add_argument("--platform", default=None)
@@ -431,7 +449,8 @@ def main():
                 linear_family(cfg, grid, w0, out, model, a.f32,
                               num_modes=a.num_modes)
             else:
-                closure_family(cfg, grid, w0, out, model, a.f32)
+                closure_family(cfg, grid, w0, out, model, a.f32,
+                               n_p=a.num_primary)
         except Exception as e:  # noqa: BLE001 — keep recording others
             import traceback
             print(f"!!! {model} FAILED: {type(e).__name__}: "

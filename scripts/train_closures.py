@@ -27,6 +27,10 @@ p = argparse.ArgumentParser()
 p.add_argument("--retrain", action="store_true")
 p.add_argument("--skip", nargs="*", default=[],
                choices=["rbf", "rnm", "gp"])
+p.add_argument("--num-primary", type=int, default=10,
+               help="primary modes of the 150-mode split; != 10 "
+                    "suffixes artifacts with _p{n} (the reference's "
+                    "fine POD-RBF_global_20/ exploration)")
 p.add_argument("--num-cells", type=int, default=None,
                help="grid resolution (default: the 250^2 workbench); "
                     "artifacts get the res_path suffix, mirroring the "
@@ -54,7 +58,9 @@ cfg = default_config(args.num_cells)
 grid, w0 = make_problem(cfg)
 
 t0 = time.time()
-u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, 10, 140)
+n_p = args.num_primary
+sfx = "" if n_p == 10 else f"_p{n_p}"
+u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p, 150 - n_p)
 print(f"basis + projections ready in {time.time() - t0:.1f}s "
       f"(q_p {q_p.shape} {q_p.dtype})", flush=True)
 
@@ -62,7 +68,7 @@ if "rbf" not in args.skip:
     from finitedifference_tpu.training.rbf_train import (
         save_global_rbf, train_global_rbf)
 
-    rbf_path = res_path(cfg, "pod_rbf_global_model.npz")
+    rbf_path = res_path(cfg, f"pod_rbf_global_model{sfx}.npz")
     if args.retrain or not os.path.exists(rbf_path):
         t0 = time.time()
         model, log = train_global_rbf(q_p, q_s, seed=cfg.seed, verbose=True)
@@ -75,13 +81,14 @@ if "rnm" not in args.skip:
         project_snapshots, train_rnm)
     from finitedifference_tpu.snapshots import collect_snapshots
 
-    rnm_path = res_path(cfg, "rnm_model.msgpack")
+    rnm_path = res_path(cfg, f"rnm_model{sfx}.msgpack")
     if args.retrain or args.rnm_resume or not os.path.exists(rnm_path):
         # the MLP regression is cheap: use ALL projected pairs
         snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
                                   cfg.num_steps, snap_folder=cfg.snap_folder)
         basis = np.load(res_path(cfg, "basis.npy"))
-        qp_all, qs_all = project_snapshots(basis, snaps.T, 10, 140)
+        qp_all, qs_all = project_snapshots(basis, snaps.T, n_p,
+                                           150 - n_p)
         del snaps
         t0 = time.time()
         module, params, mon = train_rnm(
@@ -94,7 +101,10 @@ if "rnm" not in args.skip:
 if "gp" not in args.skip:
     from finitedifference_tpu.training.gp_train import save_gp, train_gp
 
-    gp_path = res_path(cfg, "pod_gp_model.npz")
+    stem = "pod_gp_model.npz" if args.gp_per_mode == "none" \
+        else "pod_gp_model_per_mode.npz"
+    gp_path = res_path(cfg, stem.replace(".npz", f"{sfx}.npz")
+                       if sfx else stem)
     if args.retrain or not os.path.exists(gp_path):
         t0 = time.time()
         s = args.gp_stride
