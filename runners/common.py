@@ -342,7 +342,16 @@ def closure_ecsw_weights(cfg, grid, w0, u_p, u_s, closure, *,
                          mu_train=(4.25, 0.0225), compute=False):
     """Compute-or-load ECSW weights for a nonlinear-closure ROM
     (reference compute_ECSW_training_matrix_2D_{rnm,rbf_*,gp} + runner
-    NNLS/ECM recipes)."""
+    NNLS/ECM recipes).
+
+    mu_train: one (mu1, mu2) pair — the reference's single-trajectory
+    recipe (run_HPROM_ecsw_joshua.py:55-66) — or a sequence of pairs:
+    the same snapshot-row budget is then split evenly over the
+    trajectories (stride scales with the count), so a sampled mesh can
+    represent the whole training box instead of one corner of it. The
+    spread matters at 750^2, where the test points sit far from
+    (4.25, 0.0225) in mu (same rationale as
+    scripts/build_fine_weights.py --mu-train spread)."""
     import jax.numpy as jnp
 
     from finitedifference_tpu.closures.common import manifold_decoder
@@ -365,13 +374,20 @@ def closure_ecsw_weights(cfg, grid, w0, u_p, u_s, closure, *,
         q to the snapshot through the decoder (hypernet2D.py:2765-2773),
         replacing round 1's plain-projection shortcut."""
         return fit_reduced_coords(decode, dec_jac, u_p_t @ snap, snap).y
-    snaps = load_or_compute_snaps(list(mu_train), grid, w0, cfg.dt,
-                                  cfg.num_steps,
-                                  snap_folder=cfg.snap_folder)
+    mu_list = [tuple(mu_train)] if np.ndim(mu_train[0]) == 0 \
+        else [tuple(m) for m in mu_train]
+    stride = 10 * len(mu_list)
     t = cfg.num_steps
-    c = ecsw_training_matrix_closure(
-        grid, snaps[:, 3:t:10], snaps[:, 0:t - 3:10], decode, dec_jac,
-        fit_y0, mu_train[0], mu_train[1], cfg.dt)
+    blocks = []
+    for m1, m2 in mu_list:
+        snaps = load_or_compute_snaps([m1, m2], grid, w0, cfg.dt,
+                                      cfg.num_steps,
+                                      snap_folder=cfg.snap_folder)
+        blocks.append(ecsw_training_matrix_closure(
+            grid, snaps[:, 3:t:stride], snaps[:, 0:t - 3:stride],
+            decode, dec_jac, fit_y0, m1, m2, cfg.dt))
+        del snaps
+    c = np.vstack(blocks)
     weights = compute_ecsw_weights(c, grid, bc_w=bc_w, method=method,
                                    rel_err_thresh=1e-4)
     np.save(weights_path, weights)

@@ -212,19 +212,30 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
                round(rel, 4))
 
 
-def closure_family(cfg, grid, w0, out, model, f32, n_p=10):
+def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
+                   mu_train="single"):
     """Manifold-closure models over one shared run_manifold stepper.
 
     n_p: primary-mode count of the 150-mode split (default 10; the
     reference explores 20 at 750^2, POD-RBF_global_20/). Non-default
     splits suffix every model/weight artifact with _p{n_p}; npz row
     keys are unchanged, so a better split replaces the shipped row.
+
+    mu_train='spread' splits the ECSW row budget over three
+    training-grid trajectories instead of the reference's single
+    (4.25, 0.0225) run (scripts/build_fine_weights.py rationale) and
+    suffixes the weight artifact with _spread.
     """
     from common import closure_ecsw_weights, res_path, run_manifold, \
         split_training
 
     n_s = 150 - n_p
     sfx = "" if n_p == 10 else f"_p{n_p}"
+    if mu_train == "spread":
+        sfx += "_spread"
+        mu_train_pts = [(4.25, 0.0225), (4.875, 0.015), (5.5, 0.03)]
+    else:
+        mu_train_pts = (4.25, 0.0225)
     kwargs = {}
     weights = None
     if model in ("hrnm", "hrnm_ecm"):
@@ -235,7 +246,7 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10):
             cfg, grid, w0, u_p, u_s, closure,
             weights_path=res_path(
                 cfg, f"ecsw_weights_rnm_{method}{sfx}.npy"),
-            method=method, bc_w=10.0)
+            method=method, bc_w=10.0, mu_train=mu_train_pts)
         label, prefix = "HRNM", model
     elif model in ("pod_rbf_hprom", "pod_rbf_hprom_knn",
                    "pod_rbf_hprom_knn_searched"):
@@ -271,7 +282,7 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10):
             cfg, grid, w0, u_p, u_s, closure,
             weights_path=res_path(
                 cfg, f"ecsw_weights_rbf_{variant}{sfx}_nnls.npy"),
-            method="nnls", bc_w=10.0)
+            method="nnls", bc_w=10.0, mu_train=mu_train_pts)
         label, prefix = f"POD-RBF-HPROM-{variant}", model
         if model == "pod_rbf_hprom":
             prefix = "pod_rbf_hprom"
@@ -286,7 +297,7 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10):
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
             weights_path=res_path(cfg, f"ecsw_weights_gp{sfx}_nnls.npy"),
-            method="nnls", bc_w=10.0)
+            method="nnls", bc_w=10.0, mu_train=mu_train_pts)
         label, prefix = "POD-GP-HPROM", model
     elif model == "pod_gp_hprom_pm":
         # per-mode GP family (closures/gp.py::fit_gp_full_per_mode, the
@@ -318,7 +329,7 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10):
             cfg, grid, w0, u_p, u_s, closure,
             weights_path=res_path(
                 cfg, f"ecsw_weights_gp_pm{sfx}_nnls.npy"),
-            method="nnls", bc_w=10.0)
+            method="nnls", bc_w=10.0, mu_train=mu_train_pts)
         label, prefix = "POD-GP-HPROM-per-mode", model
     elif model == "rnm":
         from run_rnm import get_rnm_closure
@@ -388,6 +399,13 @@ def main():
                         "150-mode split; != 10 suffixes model/weight "
                         "artifacts with _p{n} (reference explores 20 "
                         "at 750^2: POD-RBF_global_20/)")
+    p.add_argument("--mu-train", default="single",
+                   choices=["single", "spread"],
+                   help="closure-family ECSW training trajectories: "
+                        "single = the reference's (4.25, 0.0225) run; "
+                        "spread = row budget split over three "
+                        "training-grid corners (suffixes weight "
+                        "artifacts with _spread)")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true")
     p.add_argument("--platform", default=None)
@@ -450,7 +468,7 @@ def main():
                               num_modes=a.num_modes)
             else:
                 closure_family(cfg, grid, w0, out, model, a.f32,
-                               n_p=a.num_primary)
+                               n_p=a.num_primary, mu_train=a.mu_train)
         except Exception as e:  # noqa: BLE001 — keep recording others
             import traceback
             print(f"!!! {model} FAILED: {type(e).__name__}: "

@@ -78,6 +78,36 @@ class TestRunnerSmoke:
         assert np.isfinite(err) and err < 10.0
         assert os.path.exists("pod_gp_model_12x12.npz")
 
+    def test_closure_weights_multi_trajectory(self, runner_cwd):
+        """closure_ecsw_weights accepts a sequence of training points:
+        the row budget is split over the trajectories (stride scales
+        with the count), giving a sampled mesh representative of the
+        whole mu box (the fine-grid weight recipe,
+        scripts/build_fine_weights.py --mu-train spread)."""
+        import jax.numpy as jnp
+
+        from common import closure_ecsw_weights, default_config, \
+            make_problem
+        from finitedifference_tpu.closures.common import Closure
+
+        cfg = default_config(12, 8)
+        grid, w0 = make_problem(cfg)
+        rng = np.random.default_rng(0)
+        u_p = np.linalg.qr(rng.standard_normal((grid.state_dim, 3)))[0]
+        u_s = np.linalg.qr(rng.standard_normal((grid.state_dim, 2)))[0]
+        zero = Closure(predict=lambda y: jnp.zeros(2),
+                       jacobian=lambda y: jnp.zeros((2, 3)))
+        w_multi = closure_ecsw_weights(
+            cfg, grid, w0, u_p, u_s, zero, weights_path="w_multi.npy",
+            bc_w=5.0, mu_train=[(4.25, 0.0225), (4.75, 0.02)],
+            compute=True)
+        w_single = closure_ecsw_weights(
+            cfg, grid, w0, u_p, u_s, zero, weights_path="w_single.npy",
+            bc_w=5.0, mu_train=(4.25, 0.0225), compute=True)
+        for w in (w_multi, w_single):
+            assert w.shape == (grid.n_cells,)
+            assert np.all(w >= 0) and (w > 0).sum() > 0
+
     def test_rnm(self, runner_cwd):
         import run_rnm
 
