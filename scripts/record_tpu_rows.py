@@ -213,7 +213,7 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
 
 
 def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
-                   mu_train="single"):
+                   mu_train="single", warm_start=False):
     """Manifold-closure models over one shared run_manifold stepper.
 
     n_p: primary-mode count of the 150-mode split (default 10; the
@@ -225,6 +225,12 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
     training-grid trajectories instead of the reference's single
     (4.25, 0.0225) run (scripts/build_fine_weights.py rationale) and
     suffixes the weight artifact with _spread.
+
+    warm_start applies the reference's step-0 reseed (its sampled
+    global-RBF/GP solvers overwrite the first Gauss-Newton result with
+    the training trajectory's t=1 coordinates, hypernet2D.py:1100-1103)
+    to the sampled closure runs — off by default to keep the shipped
+    coarse rows' cold-start protocol.
     """
     from common import closure_ecsw_weights, res_path, run_manifold, \
         split_training
@@ -362,6 +368,9 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
 
     if weights is not None:
         print(f"{model}: N_e = {int((weights > 0).sum())}")
+    if warm_start and "warm_q1" not in kwargs:
+        from run_pod_rbf_global import training_warm_q1
+        kwargs["warm_q1"] = training_warm_q1(cfg, grid, w0, u_p)
     # snapshot artifacts share one filename protocol across resolutions;
     # suffix non-default grids so a 750^2 record never clobbers the
     # coarse *_snaps_*.npy files (npz keys stay per-file unsuffixed)
@@ -406,6 +415,9 @@ def main():
                         "spread = row budget split over three "
                         "training-grid corners (suffixes weight "
                         "artifacts with _spread)")
+    p.add_argument("--warm-start", action="store_true",
+                   help="closure family: reference step-0 reseed "
+                        "(hypernet2D.py:1100-1103) as a warm start")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true")
     p.add_argument("--platform", default=None)
@@ -468,7 +480,8 @@ def main():
                               num_modes=a.num_modes)
             else:
                 closure_family(cfg, grid, w0, out, model, a.f32,
-                               n_p=a.num_primary, mu_train=a.mu_train)
+                               n_p=a.num_primary, mu_train=a.mu_train,
+                               warm_start=a.warm_start)
         except Exception as e:  # noqa: BLE001 — keep recording others
             import traceback
             print(f"!!! {model} FAILED: {type(e).__name__}: "
