@@ -236,7 +236,12 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
         split_training
 
     n_s = 150 - n_p
-    sfx = "" if n_p == 10 else f"_p{n_p}"
+    # fit artifacts (GP models, RBF fits) depend only on the POD split;
+    # ECSW weight artifacts additionally depend on the training
+    # trajectories — keep the suffixes separate so a --mu-train spread
+    # campaign reuses the existing closure fits
+    fit_sfx = "" if n_p == 10 else f"_p{n_p}"
+    sfx = fit_sfx
     if mu_train == "spread":
         sfx += "_spread"
         mu_train_pts = [(4.25, 0.0225), (4.875, 0.015), (5.5, 0.03)]
@@ -318,7 +323,7 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
         )
         u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p,
                                             n_s)
-        mp = res_path(cfg, f"pod_gp_model_per_mode{sfx}.npz")
+        mp = res_path(cfg, f"pod_gp_model_per_mode{fit_sfx}.npz")
         if os.path.exists(mp):
             gp = load_gp(mp)
         else:

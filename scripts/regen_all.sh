@@ -1,0 +1,47 @@
+#!/bin/bash
+# Regenerate the full offline artifact tree after a machine reset
+# (snapshot cache, POD bases, ECSW weight families, closure fits).
+# Everything here is idempotent — rerun after a crash and it resumes.
+#
+# Stage order matters: snapshots (TPU) feed bases/weights; CPU stages
+# run under JAX_PLATFORMS=cpu with axon registration skipped so the one
+# TPU session stays free (CLAUDE.md).
+#
+# Usage: bash scripts/regen_all.sh [--with-fine-closures] 2>&1 | tee regen.log
+set -e
+cd "$(dirname "$0")/.."
+
+CPU_ENV="env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu"
+
+stage() { echo "=== [$(date +%H:%M:%S)] $* ==="; }
+
+stage "coarse snapshots (TPU)"
+python scripts/gen_snapshots.py
+
+stage "coarse linear weights (CPU host)"
+$CPU_ENV python scripts/build_coarse_weights.py
+
+stage "coarse closure fits (CPU host)"
+$CPU_ENV python scripts/train_closures.py
+
+stage "fine snapshots (TPU, ~45 min cold)"
+python scripts/gen_snapshots_fine.py
+
+stage "fine 95-mode weights (TPU device LH)"
+python scripts/build_fine_weights.py
+
+stage "fine 150-mode weights (TPU device LH)"
+python scripts/build_fine_weights.py --num-modes 150 --snap-stride 14
+
+if [[ "$1" == "--with-fine-closures" ]]; then
+  stage "fine closure fits (CPU host)"
+  $CPU_ENV python scripts/train_closures.py --num-cells 750
+
+  stage "fine closure campaign (TPU): spread weights + warm start"
+  python scripts/record_tpu_rows.py --num-cells 750 \
+    --out rom_results_fine.npz \
+    --models pod_rbf_hprom pod_gp_hprom_pm \
+    --mu-train spread --warm-start --redo
+fi
+
+stage "ALL DONE"
