@@ -22,7 +22,14 @@ stage "coarse linear weights (CPU host)"
 $CPU_ENV python scripts/build_coarse_weights.py
 
 stage "coarse closure fits (CPU host)"
-$CPU_ENV python scripts/train_closures.py
+# --gp-steps 100 --gp-noise 1e-6: the shipped per-mode recipe
+# (record_tpu_rows.py fallback); 300 steps is a multi-hour fit on this
+# one-core host for no measurable offline gain (gp_offline_eval.py)
+$CPU_ENV python scripts/train_closures.py --gp-steps 100 --gp-noise 1e-6
+
+stage "coarse shared-kernel GP (CPU host)"
+$CPU_ENV python scripts/train_closures.py --skip rbf rnm \
+  --gp-per-mode none --gp-noise 1e-6
 
 stage "fine snapshots (TPU, ~45 min cold)"
 python scripts/gen_snapshots_fine.py
@@ -35,7 +42,8 @@ python scripts/build_fine_weights.py --num-modes 150 --snap-stride 14
 
 if [[ "$1" == "--with-fine-closures" ]]; then
   stage "fine closure fits (CPU host)"
-  $CPU_ENV python scripts/train_closures.py --num-cells 750
+  $CPU_ENV python scripts/train_closures.py --num-cells 750 \
+    --gp-steps 100 --gp-noise 1e-6
 
   stage "fine closure campaign (TPU): spread weights + warm start"
   python scripts/record_tpu_rows.py --num-cells 750 \
