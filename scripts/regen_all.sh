@@ -31,6 +31,14 @@ stage "coarse shared-kernel GP (CPU host)"
 $CPU_ENV python scripts/train_closures.py --skip rbf rnm \
   --gp-per-mode none --gp-noise 1e-6
 
+stage "AE model + rows (CPU host, 50^2 TestAE scale)"
+$CPU_ENV python scripts/record_ae_rows.py
+
+stage "coarse row campaign (TPU; skip-if-done — pass --redo by hand after retrained fits)"
+python scripts/record_tpu_rows.py --models rnm pod_rbf_global pod_rbf_searched \
+  hprom hprom_ecm hrnm hrnm_ecm pod_rbf_hprom pod_rbf_hprom_knn_searched \
+  pod_gp_hprom pod_gp_hprom_pm
+
 stage "fine snapshots (TPU, ~45 min cold)"
 python scripts/gen_snapshots_fine.py
 
