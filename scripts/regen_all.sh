@@ -49,13 +49,30 @@ stage "fine 150-mode weights (TPU device LH)"
 python scripts/build_fine_weights.py --num-modes 150 --snap-stride 14
 
 if [[ "$1" == "--with-fine-closures" ]]; then
-  stage "fine closure fits (CPU host)"
+  stage "fine closure fits, 10+140 split (CPU host)"
   $CPU_ENV python scripts/train_closures.py --num-cells 750 \
-    --gp-steps 100 --gp-noise 1e-6
+    --skip rnm --gp-steps 100 --gp-noise 1e-6
+
+  # the reference's own fine workbench moves to 20 primary modes
+  # (POD-RBF_global_20/) — at 750^2 the 10-mode primary state is too
+  # coarse for the closure map to generalize (fine_closure_diag.py)
+  stage "fine closure fits, 20+130 split (CPU host)"
+  $CPU_ENV python scripts/train_closures.py --num-cells 750 \
+    --num-primary 20 --skip rnm --gp-steps 100 --gp-noise 1e-6
+
+  stage "fine closure offline diagnostic (CPU host)"
+  $CPU_ENV python scripts/fine_closure_diag.py || true
+  $CPU_ENV python scripts/fine_closure_diag.py --num-primary 20 || true
 
   stage "fine closure campaign (TPU): spread weights + warm start"
   python scripts/record_tpu_rows.py --num-cells 750 \
     --out rom_results_fine.npz \
+    --models pod_rbf_hprom pod_gp_hprom_pm \
+    --mu-train spread --warm-start --redo
+
+  stage "fine closure campaign, 20-primary split (TPU)"
+  python scripts/record_tpu_rows.py --num-cells 750 \
+    --out rom_results_fine.npz --num-primary 20 \
     --models pod_rbf_hprom pod_gp_hprom_pm \
     --mu-train spread --warm-start --redo
 fi
