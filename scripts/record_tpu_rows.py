@@ -303,7 +303,9 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
         from finitedifference_tpu.training.gp_train import load_gp
         u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p,
                                             n_s)
-        gp = load_gp(res_path(cfg, run_pod_gp_hprom.MODEL_PATH))
+        gp = load_gp(res_path(cfg, run_pod_gp_hprom.MODEL_PATH.replace(
+            ".npz", f"{fit_sfx}.npz") if fit_sfx
+            else run_pod_gp_hprom.MODEL_PATH))
         closure = gp_closure(gp)
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
