@@ -88,7 +88,9 @@ def augmented_state_indices(mesh: SampledMesh, n_cells: int) -> jnp.ndarray:
     """Indices into a flat state (2n,) selecting augmented u then v rows —
     the reference's `idx = [augmented; n + augmented]`
     (hypernet2D.py:247)."""
-    aug = mesh.aug_cells.astype(jnp.int64)
+    # int32 suffices: 2 * n_cells <= 1.125M at the fine grid, far below
+    # the int32 range — and an int64 request warns under f32-only configs
+    aug = mesh.aug_cells
     return jnp.concatenate((aug, n_cells + aug))
 
 

@@ -218,8 +218,9 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
 
     n_p: primary-mode count of the 150-mode split (default 10; the
     reference explores 20 at 750^2, POD-RBF_global_20/). Non-default
-    splits suffix every model/weight artifact with _p{n_p}; npz row
-    keys are unchanged, so a better split replaces the shipped row.
+    splits suffix every model/weight artifact AND the npz row keys with
+    _p{n_p} (e.g. pod_rbf_hprom_p20_*), so campaigns at different
+    splits coexist in one npz and each stays skip-if-done (ADVICE r3).
 
     mu_train='spread' splits the ECSW row budget over three
     training-grid trajectories instead of the reference's single
@@ -300,12 +301,26 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
     elif model == "pod_gp_hprom":
         import run_pod_gp_hprom
         from finitedifference_tpu.closures.gp import gp_closure
-        from finitedifference_tpu.training.gp_train import load_gp
+        from finitedifference_tpu.training.gp_train import (
+            load_gp,
+            save_gp,
+            train_gp,
+        )
         u_p, u_s, q_p, q_s = split_training(cfg, grid, w0, 150, n_p,
                                             n_s)
-        gp = load_gp(res_path(cfg, run_pod_gp_hprom.MODEL_PATH.replace(
+        mp = res_path(cfg, run_pod_gp_hprom.MODEL_PATH.replace(
             ".npz", f"{fit_sfx}.npz") if fit_sfx
-            else run_pod_gp_hprom.MODEL_PATH))
+            else run_pod_gp_hprom.MODEL_PATH)
+        if os.path.exists(mp):
+            gp = load_gp(mp)
+        else:
+            # in-process train-and-save fallback (ADVICE r3): no
+            # pipeline stage ships the shared-kernel model for
+            # non-default splits (train_closures.py --gp-per-mode none
+            # only covers n_p=10), so fit it here like pod_gp_hprom_pm
+            gp = train_gp(q_p, q_s, noise=1e-6, per_mode="none",
+                          num_steps=100, verbose=True)
+            save_gp(gp, mp)
         closure = gp_closure(gp)
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
@@ -381,13 +396,13 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
     # snapshot artifacts share one filename protocol across resolutions;
     # suffix non-default grids so a 750^2 record never clobbers the
     # coarse *_snaps_*.npy files (npz keys stay per-file unsuffixed)
-    save_prefix = prefix + cfg.res_suffix
+    save_prefix = prefix + fit_sfx + cfg.res_suffix
     rows = run_manifold(cfg, grid, w0, u_p, u_s, closure, f32=f32,
                         weights_full=weights, label=label,
                         save_prefix=save_prefix, points=TEST_POINTS,
                         **kwargs)
     for (elapsed, rel), mu in zip(rows, TEST_POINTS):
-        record(out, f"{prefix}_{mu[0]}_{mu[1]}", elapsed, rel)
+        record(out, f"{prefix}{fit_sfx}_{mu[0]}_{mu[1]}", elapsed, rel)
 
 
 LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_factored",
@@ -471,8 +486,11 @@ def main():
         hyper = "hprom" in model or model.startswith("hrnm")
         out = a.out or ("rom_results_hprom.npz" if hyper
                         else "rom_results.npz")
-        ksuf = "" if a.num_modes == 95 else str(a.num_modes)
-        key = model + ksuf if model in LINEAR else model
+        if model in LINEAR:
+            key = model + ("" if a.num_modes == 95 else str(a.num_modes))
+        else:
+            key = model + ("" if a.num_primary == 10
+                           else f"_p{a.num_primary}")
         if not a.redo and have(out, key):
             print(f"=== {key}: all points recorded, skipping ===")
             continue

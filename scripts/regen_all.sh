@@ -64,17 +64,20 @@ if [[ "$1" == "--with-fine-closures" ]]; then
   $CPU_ENV python scripts/fine_closure_diag.py || true
   $CPU_ENV python scripts/fine_closure_diag.py --num-primary 20 || true
 
+  # the two splits record under DISTINCT npz keys (pod_rbf_hprom_* vs
+  # pod_rbf_hprom_p20_*; record_tpu_rows.py suffixes non-default splits)
+  # so both stay skip-if-done and neither clobbers the other (ADVICE r3)
   stage "fine closure campaign (TPU): spread weights + warm start"
   python scripts/record_tpu_rows.py --num-cells 750 \
     --out rom_results_fine.npz \
     --models pod_rbf_hprom pod_gp_hprom_pm \
-    --mu-train spread --warm-start --redo
+    --mu-train spread --warm-start
 
   stage "fine closure campaign, 20-primary split (TPU)"
   python scripts/record_tpu_rows.py --num-cells 750 \
     --out rom_results_fine.npz --num-primary 20 \
     --models pod_rbf_hprom pod_gp_hprom_pm \
-    --mu-train spread --warm-start --redo
+    --mu-train spread --warm-start
 fi
 
 stage "ALL DONE"
