@@ -118,12 +118,18 @@ def ecsw_training_matrix_closure(grid: Grid2D, snaps, prev_snaps,
 def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
          max_support: Optional[int] = None,
          rel_err_thresh: float = 0.0,
+         x0: Optional[np.ndarray] = None,
          verbose: bool = False) -> Tuple[np.ndarray, float, np.ndarray]:
     """min ||C x - d|| s.t. x >= 0 by Lawson-Hanson active sets.
 
     Early stops (the reference's lsqnonneg extensions, lsqnonneg.py:100-105):
     `rel_err_thresh` — stop once ||resid||/||d|| drops below it;
     `max_support` — stop once the positive set reaches this size.
+    `x0` — warm start (lsqnonneg.py:4): seed the passive set with the
+    support of a prior/approximate solution (e.g. the device-FISTA
+    screening pass, or the previous solve in a regen chain), then run the
+    standard outer loop — converges to the same KKT point, typically in
+    far fewer column additions.
     Returns (x, sum of squared residuals, residual vector).
 
     Intentional default difference: the reference's lsqnonneg defaults
@@ -140,8 +146,6 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
 
     x = np.zeros(n)
     passive = np.zeros(n, dtype=bool)   # the positive ("P") set
-    resid = d - C @ x
-    w = C.T @ resid
     it = 0
     itmax = itmax_factor * n
     norm_d = np.linalg.norm(d)
@@ -152,6 +156,26 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
         if cols.size:
             z[cols] = np.linalg.lstsq(C[:, cols], d, rcond=None)[0]
         return z
+
+    if x0 is not None:
+        passive = np.asarray(x0, dtype=np.float64) > tol
+        if passive.any():
+            z = solve_passive()
+            # standard inner fix-up: drop seeded columns whose
+            # unconstrained coefficient is non-positive (x=0 start, so
+            # the feasibility step reduces to dropping them outright)
+            passive &= z > tol
+            x = solve_passive() if passive.any() else np.zeros(n)
+    resid = d - C @ x
+    w = C.T @ resid
+
+    if x0 is not None and norm_d > 0:
+        # the seed may already satisfy a caller's early stop
+        if rel_err_thresh and np.linalg.norm(resid) / norm_d \
+                < rel_err_thresh:
+            return x, float(resid @ resid), resid
+        if max_support is not None and int((x > 0).sum()) >= max_support:
+            return x, float(resid @ resid), resid
 
     while (~passive).any() and (w[~passive] > tol).any():
         # most-violating inactive column joins the passive set
@@ -191,6 +215,7 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
 def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
               max_support: Optional[int] = None,
               rel_err_thresh: float = 0.0,
+              x0: Optional[np.ndarray] = None,
               verbose: bool = False) -> Tuple[np.ndarray, float, np.ndarray]:
     """Lawson-Hanson NNLS on an incrementally-maintained Gram Cholesky.
 
@@ -230,15 +255,68 @@ def nnls_gram(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
             z[gram.cols] = gram.weights()
         return z
 
+    if x0 is not None:
+        # warm start (lsqnonneg.py:4 x0): seed the factor with the prior
+        # support in DECREASING weight order — the greedy ordering the
+        # cold algorithm would discover — and stop at the first
+        # dependency (an unordered all-at-once seed lets near-duplicate
+        # small-weight columns into the factor first, which then makes
+        # the load-bearing columns look dependent at the Gram-squared
+        # precision floor and strands the solve at a premature exit)
+        x0 = np.asarray(x0, dtype=np.float64)
+        for j in np.argsort(-x0):
+            if x0[j] <= tol:
+                break
+            if not gram.try_add(int(j)):
+                break
+            passive[j] = True
+        z = z_full()
+        while passive.any() and (z[passive] <= tol).any():
+            drop = passive & (z <= tol)
+            for j in np.where(drop)[0]:
+                gram.remove(gram.cols.index(int(j)))
+            passive &= ~drop
+            z = z_full()
+        x = z
+        if gram.cols:
+            cols = np.asarray(gram.cols, dtype=np.int64)
+            resid = d - C[:, cols] @ x[cols]
+            w = C.T @ resid
+            rel0 = np.linalg.norm(resid) / norm_d if norm_d > 0 else 0.0
+            best_rel = rel0
+            if rel_err_thresh and rel0 < rel_err_thresh:
+                return x, float(resid @ resid), resid
+            if max_support is not None \
+                    and int((x > 0).sum()) >= max_support:
+                return x, float(resid @ resid), resid
+
+    rebuilt_stuck = False
     while True:
         cand = ~passive & ~blocked
         if not cand.any() or not (w[cand] > tol).any():
+            # don't exit on a BLOCKED column still violating KKT: the
+            # accumulated downdate error in the factor can spuriously
+            # reject independent columns. Rebuild fresh once and retry;
+            # a successful add re-arms the rebuild.
+            stuck = ~passive & blocked
+            if not rebuilt_stuck and stuck.any() \
+                    and (w[stuck] > tol).any():
+                cols_now = [int(j) for j in np.where(passive)[0]]
+                gram = _GramCholesky(C, d)
+                passive[:] = False
+                for j in cols_now:
+                    if gram.try_add(j):
+                        passive[j] = True
+                blocked[:] = False
+                rebuilt_stuck = True
+                continue
             break
         inactive = np.where(cand)[0]
         t = inactive[np.argmax(w[inactive])]
         if not gram.try_add(t):
             blocked[t] = True   # dependent on the current passive set
             continue
+        rebuilt_stuck = False
         passive[t] = True
         z = z_full()
 
@@ -470,6 +548,8 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
                        constrain_sum_of_weights: bool = True,
                        max_iters: Optional[int] = None,
                        use_inverse_updates: bool = True,
+                       candidates: Optional[np.ndarray] = None,
+                       max_unsuccessful: int = 100,
                        verbose: bool = False):
     """Select elements z and positive weights w with G[:, z] @ w ≈ G @ 1.
 
@@ -485,6 +565,18 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
     _UpdateWeightsInverse machinery); False re-solves each step (slower,
     bitwise-stabler reference path for cross-checks).
 
+    candidates: optional explicit initial candidate element indices (the
+    reference SetUp's `InitialCandidatesSet` y); the remaining columns
+    form the COMPLEMENT pool. When the candidate pool exhausts — or the
+    support stalls for `max_unsuccessful` consecutive iterations without
+    growing (ejections keep cancelling additions) — the complement is
+    re-admitted once (`expand_candidates_with_complement`,
+    empirical_cubature_method.py:139-142 + the Calculate stall counter),
+    rescuing tolerances the initial set alone cannot reach. Without
+    `candidates`, the complement is the filter-rejected columns, matching
+    the reference's default SetUp(y=None) — where exhaustion was
+    previously a hard break.
+
     Returns (z, w): selected element indices and their positive weights.
     """
     G = np.asarray(residual_basis, dtype=np.float64).T   # (r, M)
@@ -498,10 +590,20 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
     b = G @ np.ones(M)
     norm_b = np.linalg.norm(b)
 
-    cand = np.ones(M, dtype=bool)
+    keep = np.ones(M, dtype=bool)         # filter: norm-worthy columns
     if filter_tolerance > 0:
         col_norms = np.linalg.norm(G, axis=0)
-        cand &= col_norms >= filter_tolerance * norm_b
+        keep &= col_norms >= filter_tolerance * norm_b
+    if candidates is not None:
+        cand = np.zeros(M, dtype=bool)
+        cand[np.asarray(candidates, dtype=np.int64)] = True
+        comp = keep & ~cand               # explicit complement pool
+        cand &= keep
+        if not cand.any():                # all candidates filtered away
+            cand, comp = comp, np.zeros(M, dtype=bool)
+    else:
+        cand = keep.copy()
+        comp = ~keep                      # filter-rejected columns
     Gt = np.ascontiguousarray(G.T)   # (M, r): row-major for the scoring GEMV
 
     gram = _GramInverse(G, b)
@@ -509,9 +611,26 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
     r = b.copy()
     alpha = np.zeros(0)
     k = 0
+    expanded = False
+    max_len, unsuccessful = 0, 0
     max_iters = max_iters or 10 * M
+
+    def expand():
+        nonlocal expanded
+        cand[:] |= comp
+        cand[np.asarray(z, dtype=np.int64)] = False
+        expanded = True
+        if verbose:
+            print("  ecm: expanding candidate set with the complement "
+                  f"(+{int(comp.sum())} columns)")
+
     while np.linalg.norm(r) / norm_b > tolerance and len(z) < M \
-            and cand.any() and k < max_iters:
+            and k < max_iters:
+        if not cand.any() or (not expanded and comp.any()
+                              and unsuccessful > max_unsuccessful):
+            if expanded or not comp.any():
+                break                     # genuinely exhausted
+            expand()
         k += 1
         # score ALL columns with one GEMV and mask — a column-subset
         # gather (G[:, candidates]) copies O(M r) bytes per step and
@@ -530,7 +649,12 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
                     break
                 obj[j] = -np.inf   # dependent column: skip this round
             if pick is None:
-                break   # every remaining candidate is dependent
+                # every remaining candidate is dependent on the current
+                # set — re-admit the complement once before giving up
+                if not expanded and comp.any():
+                    expand()
+                    continue
+                break
             z.append(pick)
             cand[pick] = False
             alpha = gram.weights()
@@ -554,6 +678,13 @@ def empirical_cubature(residual_basis, tolerance: float = 0.0,
                      if i not in set(neg.tolist())]
                 alpha = np.linalg.lstsq(G[:, z], b, rcond=None)[0]
         r = b - G[:, z] @ alpha
+        # stall counter (reference Calculate's UnsuccesfulIterations):
+        # an iteration "succeeds" only when the support reaches a new
+        # maximum; long add/eject churn triggers the complement expansion
+        if len(z) > max_len:
+            max_len, unsuccessful = len(z), 0
+        else:
+            unsuccessful += 1
         if verbose:
             print(f"  ecm: k={k} |z|={len(z)} "
                   f"err={np.linalg.norm(r)/norm_b:.3e}")
@@ -750,6 +881,7 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
     Ci = C[:, flat_interior]
 
     support: list = []
+    x1 = np.zeros(Ci.shape[1])   # level-1 values: level-2 warm start
     if level1 == "fista":
         m, ncols = Ci.shape
         blk = -(-ncols // num_subdomains)
@@ -779,8 +911,11 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
                         and pos.size > support_cap_per_block:
                     pos = pos[np.argsort(x[pos])[::-1]
                               [:support_cap_per_block]]
-                support.extend(
-                    int(p) for p in (s + bi) * blk + pos if p < ncols)
+                in_range = (s + bi) * blk + pos < ncols
+                pos = pos[in_range]
+                cols = (s + bi) * blk + pos
+                support.extend(int(p) for p in cols)
+                x1[cols] = x[pos]
             if verbose:
                 print(f"  fista blocks {s}..{s + xs.shape[0] - 1}: "
                       f"rel err {np.asarray(rels).max():.3e}, "
@@ -791,6 +926,7 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
             wb, _, _ = nnls(Ci[:, blk], Ci[:, blk].sum(axis=1),
                             rel_err_thresh=rel_err_thresh)
             support.extend(blk[wb > 0].tolist())
+            x1[blk] = wb
     else:
         raise ValueError(f"unknown level1 method: {level1}")
     support = np.asarray(sorted(set(support)), dtype=np.int64)
@@ -803,8 +939,13 @@ def multilevel_nnls_weights(C, grid: Grid2D, num_subdomains: int = 12,
     if verbose:
         print(f"  level-1 union support: {support.size}")
 
+    # level-2 exact solve, warm-started from the level-1 values
+    # (lsqnonneg.py:4 x0): the screened solution's support is close to
+    # the final active set, so LH spends its iterations refining rather
+    # than rebuilding the passive set from scratch
     w2, _, _ = nnls_gram(Ci[:, support], Ci.sum(axis=1),
-                         rel_err_thresh=rel_err_thresh)
+                         rel_err_thresh=rel_err_thresh,
+                         x0=x1[support])
     w_int = np.zeros(Ci.shape[1])
     w_int[support] = w2
 

@@ -188,6 +188,32 @@ class TestNNLS:
         assert abs(resnorm - 0.8315) < 1e-3
         assert np.all(x >= 0)
 
+    def test_warm_start_matches_cold(self):
+        """x0 warm starts (lsqnonneg.py:4) land on the same KKT point
+        whether the seed is exact, perturbed, or junk."""
+        from finitedifference_tpu.ecsw import nnls_gram
+        rng = np.random.default_rng(11)
+        C = rng.uniform(size=(50, 40))
+        d = C @ (np.abs(rng.normal(size=40)) * (rng.random(40) < 0.4))
+        x_cold, _, _ = nnls(C, d)
+        seeds = (x_cold, x_cold + 0.05 * rng.random(40), rng.random(40))
+        for x0 in seeds:
+            x_warm, _, _ = nnls(C, d, x0=x0)
+            np.testing.assert_allclose(x_warm, x_cold, atol=1e-8)
+            x_warm_g, _, _ = nnls_gram(C, d, x0=x0)
+            np.testing.assert_allclose(x_warm_g, x_cold, atol=1e-6)
+
+    def test_warm_start_respects_early_stop(self):
+        """A seed already inside rel_err_thresh returns without growing
+        the support further."""
+        rng = np.random.default_rng(12)
+        C = rng.uniform(size=(50, 40))
+        x_true = np.abs(rng.normal(size=40)) * (rng.random(40) < 0.4)
+        d = C @ x_true
+        x, _, resid = nnls(C, d, rel_err_thresh=0.05, x0=x_true)
+        assert np.linalg.norm(resid) / np.linalg.norm(d) < 0.05
+        assert (x > 0).sum() <= (x_true > 0).sum()
+
     def test_fista_matches_on_easy_problem(self):
         rng = np.random.default_rng(3)
         C = rng.normal(size=(40, 10)) + 2
@@ -224,6 +250,36 @@ class TestECM:
         q, _ = np.linalg.qr(a)
         z, w = empirical_cubature(q, tolerance=1e-8)
         assert len(z) <= 12  # ~rank+constraint many points suffice
+
+    def test_explicit_candidates_sufficient(self):
+        """With an explicit candidate set that CAN meet the tolerance,
+        selection stays inside it (reference SetUp's
+        InitialCandidatesSet, empirical_cubature_method.py:40-57)."""
+        rng = np.random.default_rng(5)
+        q, _ = np.linalg.qr(rng.normal(size=(120, 5)))
+        z_all, _ = empirical_cubature(q, tolerance=1e-8)
+        # a superset of a known-sufficient selection
+        cand = np.unique(np.concatenate([z_all, np.arange(0, 120, 7)]))
+        z, w = empirical_cubature(q, tolerance=1e-8, candidates=cand)
+        assert set(z.tolist()) <= set(cand.tolist())
+        b = q.T @ np.ones(120)
+        np.testing.assert_allclose(q[z].T @ w, b, atol=1e-6)
+
+    def test_complement_expansion_rescues_tolerance(self):
+        """When the explicit candidate set exhausts before tolerance,
+        the complement is re-admitted and rescues the run (reference
+        expand_candidates_with_complement,
+        empirical_cubature_method.py:139-142)."""
+        rng = np.random.default_rng(6)
+        q, _ = np.linalg.qr(rng.normal(size=(150, 8)))
+        # 3 candidate columns cannot represent b in an 9-dim row space
+        cand = np.array([4, 40, 90])
+        z, w = empirical_cubature(q, tolerance=1e-8, candidates=cand)
+        b = q.T @ np.ones(150)
+        rel = np.linalg.norm(q[z].T @ w - b) / np.linalg.norm(b)
+        assert rel < 1e-8          # expansion reached full tolerance
+        assert set(z.tolist()) - set(cand.tolist())   # used complement
+        assert np.all(w > 0)
 
     def test_inverse_updates_match_lstsq(self):
         """Rank-one Gram-inverse updates select the same points/weights
