@@ -68,6 +68,64 @@ def plot_speedup_errors(results: dict, out_path: str | None = None):
     return fig
 
 
+def plot_reduced_mesh(grid, weights, out_path=None, title="",
+                      max_points: int = 20000):
+    """Scatter of the ECSW/ECM sampled mesh with weight magnitude as
+    color and size (role of the reference's post-NNLS spy plot,
+    run_HPROM_ecsw_joshua.py:104-111).
+
+    weights: (n_cells,) full-grid weight field (zeros = unsampled). The
+    fixed-weight boundary ring plots as small grey squares so the
+    NNLS/ECM-selected interior support stands out. `max_points` guards
+    against accidentally passing a dense field (e.g. all-ones unit
+    weights) — the largest-weight cells are kept.
+    """
+    import matplotlib.pyplot as plt
+
+    weights = np.asarray(weights).ravel()
+    ny, nx = grid.ny, grid.nx
+    sel = np.flatnonzero(weights > 0)
+    if sel.size > max_points:
+        sel = sel[np.argsort(weights[sel])[::-1][:max_points]]
+    ring = np.zeros((ny, nx), dtype=bool)
+    ring[0, :] = ring[-1, :] = True
+    ring[:, 0] = ring[:, -1] = True
+    ring = ring.ravel()
+
+    xs = np.asarray(grid.xc())[sel % nx]
+    ys = np.asarray(grid.yc())[sel // nx]
+    on_ring = ring[sel]
+    w_sel = weights[sel]
+
+    fig, ax = plt.subplots(figsize=(6.5, 6))
+    if on_ring.any():
+        ax.scatter(xs[on_ring], ys[on_ring], s=2, marker="s",
+                   color="0.7", label=f"boundary ring "
+                   f"(w={w_sel[on_ring].max():g})")
+    inter = ~on_ring
+    if inter.any():
+        sc = ax.scatter(
+            xs[inter], ys[inter],
+            s=4 + 36 * w_sel[inter] / max(w_sel[inter].max(), 1e-30),
+            c=w_sel[inter], cmap="viridis", norm="log" if
+            (w_sel[inter].min() > 0
+             and w_sel[inter].max() / w_sel[inter].min() > 50) else None)
+        fig.colorbar(sc, ax=ax, label="ECSW weight")
+    n_e = int(inter.sum())
+    ax.set_xlim(0, float(grid.x_up))
+    ax.set_ylim(0, float(grid.y_up))
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$y$")
+    ax.set_title(title or f"reduced mesh: $N_e$={n_e} of "
+                 f"{nx * ny - int(ring.sum())} interior cells")
+    if on_ring.any():
+        ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+    return fig
+
+
 def _u_field(grid, snaps, ind):
     """u-component of a snapshot column as an (ny, nx) array."""
     nx, ny = grid.nx, grid.ny

@@ -211,11 +211,40 @@ def plot_fields(num_cells, num_steps, animate=False):
             print(f"saved anim*_{tag}.gif")
 
 
+def plot_reduced_meshes(out_prefix="reduced_mesh_"):
+    """One sampled-mesh scatter per shipped weight family (reference
+    run_HPROM_ecsw_joshua.py:104-111 spy plot; VERDICT r3 #6). Weight
+    files carry the grid size in their suffix (no suffix = 250^2)."""
+    from finitedifference_tpu.grid import Grid2D
+    from finitedifference_tpu.utils.plotting import plot_reduced_mesh
+
+    for wf in sorted(glob.glob("ecsw_weights_*.npy")):
+        stem = os.path.splitext(os.path.basename(wf))[0]
+        weights = np.load(wf)
+        n = int(round(np.sqrt(weights.size)))
+        if n * n != weights.size:
+            print(f"skip {wf}: not a square grid field ({weights.size})")
+            continue
+        grid = Grid2D(nx=n, ny=n, x_up=100.0, y_up=100.0)
+        tag = stem.replace("ecsw_weights_", "")
+        wf2 = weights.reshape(n, n)
+        n_int = int((wf2[1:-1, 1:-1] > 0).sum())
+        n_e = int((weights > 0).sum())   # RESULTS.md convention: total
+        fig = plot_reduced_mesh(
+            grid, weights, out_path=f"{out_prefix}{tag}.png",
+            title=f"{tag}: $N_e$={n_e} ({n_int} interior) on {n}x{n}")
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+        print(f"saved {out_prefix}{tag}.png (N_e={n_e})")
+
+
 def main(results=("rom_results.npz", "rom_results_hprom.npz",
                   "rom_results_fine.npz", "rom_results_ae.npz"),
          num_cells=None, num_steps=None, slices=True, fields=False,
-         animate=False):
+         animate=False, reduced_meshes=True):
     setup_jax()
+    if reduced_meshes:
+        plot_reduced_meshes()
     for rf in results:
         # the AE archive is at its 50^2 reference scale: a speedup bar
         # against the 250^2 FOM would be meaningless; it still joins
