@@ -1,0 +1,286 @@
+"""Pallas TPU kernels for the FULL-GRID LSPG Gauss-Newton system.
+
+The sampled factored engine (ops/pallas_gn.py) gathers six stencil-
+position basis blocks because a sampled mesh is irregular. On the FULL
+grid the upwind stencil's neighbors are regular shifts, so the six
+blocks are west/south SHIFTS of the two basis halves — no gather and no
+6x memory blowup. ONE streaming pass over (Vu, Vv) per Gauss-Newton
+iteration computes the state scalars (MXU GEMV), the Crank-Nicolson
+residual, the row-scaled J V contributions, and the (k+1, k+1) Gram
+extension. The west shift is an in-tile sublane shift (masked at the
+inflow column); the south halo — the last grid row of the previous row
+tile — is carried in VMEM scratch, which persists because the TPU
+Pallas grid executes sequentially.
+
+HBM traffic per iteration is exactly one read of the padded basis
+(2 * n * kp f32: ~0.58 GB at 750^2/95 modes) plus the (n, 2) step
+constants — vs the multi-GB J V GEMM chain of the XLA LSPG path
+(rom.lspg_prom), whose fine-grid PROM ran 12-19x SLOWER than its own
+FOM (VERDICT r3 #2). This engine gives the full-grid PROM the sampled
+engines' economics.
+
+Step-constant protocol: the FIRST Gauss-Newton iteration of each time
+step runs the `first=True` kernel variant, which derives the CN
+previous-state constant cp from the incoming (converged) state's
+scalars in the same pass and streams it OUT; subsequent iterations
+stream cp back in. A time step therefore costs exactly `its` basis
+reads — no separate decode/extra GEMV per step.
+
+float32 only (Mosaic has no f64), traced under jax.enable_x64(False)
+like the other kernels. Zero-padding: ny pads to a row-tile multiple
+with zero basis rows and zero cp (their residual and J V rows vanish
+identically, so they contribute nothing to the Gram); the mode axis
+pads to a 128-lane multiple with the residual in lane k, exactly the
+ops/pallas_gn.py convention. f32 dots force HIGHEST precision (the MXU
+default f32 path is single-pass bf16 — the round-2 trajectory-wrecking
+root cause, see precision.py::hi_matmul).
+
+Reference semantics: inviscid_burgers_implicit2D_LSPG +
+gauss_newton_LSPG (hypernet2D.py:133-200, 1859-1929); the streaming
+factorization itself has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KP = 128
+HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def min_tile_rows(nx: int) -> int:
+    """Smallest row count r with r * nx a sublane (8) multiple."""
+    r = 1
+    while (r * nx) % 8:
+        r *= 2
+    return r
+
+
+def pad_basis_full(basis, grid, tile_rows: int | None = None):
+    """Split + pad a (2n, k) basis for the full-grid kernel.
+
+    Returns (vu_p, vv_p, wmask, tile_rows): (n_pad, kp) f32 halves with
+    ny padded to a tile_rows multiple and k+1 padded to a 128-lane
+    multiple, plus the (tile, 1) west-shift validity mask (0 at the
+    inflow column x=0, periodic per tile so one tile's worth suffices).
+    """
+    basis = np.asarray(basis, np.float32)
+    n = grid.n_cells
+    nx, ny = grid.nx, grid.ny
+    k = basis.shape[1]
+    if tile_rows is None:
+        tile_rows = max(4, min_tile_rows(nx))
+    tile_rows = _round_up(tile_rows, min_tile_rows(nx))
+    ny_pad = _round_up(ny, tile_rows)
+    kp = _round_up(k + 1, KP)
+
+    def padded(half):
+        out = np.zeros((ny_pad * nx, kp), np.float32)
+        out[:n, :k] = half
+        return jnp.asarray(out)
+
+    vu_p = padded(basis[:n])
+    vv_p = padded(basis[n:])
+    tile = tile_rows * nx
+    wmask = np.ones((tile, 1), np.float32)
+    wmask[::nx] = 0.0
+    return vu_p, vv_p, jnp.asarray(wmask), tile_rows
+
+
+def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
+                      hdy: float, kp: int, first: bool):
+    """Streaming full-grid GN system kernel.
+
+    first=True: derive + emit the per-step constant cp from the incoming
+    state's scalars (input slbc = src + lbc); the emitted Gram extension
+    is the iteration AT the previous state, whose ||r|| is the step's
+    init_norm. first=False: stream cp back in.
+    """
+    hdx = np.float32(hdx)
+    hdy = np.float32(hdy)
+    qdx = np.float32(0.5 * hdx)
+    qdy = np.float32(0.5 * hdy)
+    one = np.float32(1.0)
+    f32 = jnp.float32
+
+    def kernel(vu_ref, vv_ref, y_ref, aux_ref, wmask_ref, gext_ref,
+               *rest):
+        if first:
+            cp_ref, acc_ref, vu_c, vv_c, u_c, v_c = rest
+        else:
+            acc_ref, vu_c, vv_c, u_c, v_c = rest
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            vu_c[...] = jnp.zeros_like(vu_c)
+            vv_c[...] = jnp.zeros_like(vv_c)
+            u_c[...] = jnp.zeros_like(u_c)
+            v_c[...] = jnp.zeros_like(v_c)
+
+        vu = vu_ref[...]                     # (tile, kp)
+        vv = vv_ref[...]
+        y = y_ref[...]                       # (kp, 1)
+        wmask = wmask_ref[...]               # (tile, 1)
+
+        def dot_y(b):
+            return jax.lax.dot_general(
+                b, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=HI)  # (tile, 1)
+
+        u_s = dot_y(vu)
+        v_s = dot_y(vv)
+
+        # south halo: previous tile's last grid row (carried scratch)
+        vu_old = vu_c[...]                   # (nx, kp)
+        vv_old = vv_c[...]
+        u_old = u_c[...]                     # (nx, 1)
+        v_old = v_c[...]
+
+        # west shift: one sublane down within the tile, seeded with the
+        # carry's last row, zeroed at the inflow column
+        bu_w = jnp.concatenate([vu_old[-1:], vu[:-1]], axis=0) * wmask
+        bv_w = jnp.concatenate([vv_old[-1:], vv[:-1]], axis=0) * wmask
+        u_w = jnp.concatenate([u_old[-1:], u_s[:-1]], axis=0) * wmask
+        v_w = jnp.concatenate([v_old[-1:], v_s[:-1]], axis=0) * wmask
+
+        # south shift: nx sublanes down, seeded with the carried row
+        bu_so = jnp.concatenate([vu_old, vu[:-nx]], axis=0)
+        bv_so = jnp.concatenate([vv_old, vv[:-nx]], axis=0)
+        u_so = jnp.concatenate([u_old, u_s[:-nx]], axis=0)
+        v_so = jnp.concatenate([v_old, v_s[:-nx]], axis=0)
+
+        vu_c[...] = vu[-nx:]
+        vv_c[...] = vv[-nx:]
+        u_c[...] = u_s[-nx:]
+        v_c[...] = v_s[-nx:]
+
+        fuv = u_s * v_s
+        ru_f = qdx * (u_s * u_s - u_w * u_w) + qdy * (fuv - u_so * v_so)
+        rv_f = qdy * (v_s * v_s - v_so * v_so) + qdx * (fuv - u_w * v_w)
+        if first:
+            slbc = aux_ref[...]              # (tile, 1)
+            cp_u = -u_s + ru_f - slbc
+            cp_v = -v_s + rv_f
+            cp_ref[:, 0:1] = cp_u
+            cp_ref[:, 1:2] = cp_v
+        else:
+            cp_u = aux_ref[:, 0:1]           # (tile, 2) cp columns
+            cp_v = aux_ref[:, 1:2]
+        ru = u_s + ru_f + cp_u
+        rv = v_s + rv_f + cp_v
+
+        cu0 = one + hdx * u_s + qdy * v_s
+        cu1 = -hdx * u_w
+        cu2 = -qdy * v_so
+        cu3 = qdy * u_s
+        cu5 = -qdy * u_so
+        cv0 = qdx * v_s
+        cv1 = -qdx * v_w
+        cv3 = one + hdy * v_s + qdx * u_s
+        cv4 = -qdx * u_w
+        cv5 = -hdy * v_so
+
+        ju = cu0 * vu + cu1 * bu_w + cu2 * bu_so \
+            + cu3 * vv + cu5 * bv_so
+        jv = cv0 * vu + cv1 * bu_w + cv3 * vv \
+            + cv4 * bv_w + cv5 * bv_so
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
+        au = jnp.where(lane == k, ru, ju)
+        av = jnp.where(lane == k, rv, jv)
+
+        acc_ref[...] += (
+            jax.lax.dot_general(au, au, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32, precision=HI)
+            + jax.lax.dot_general(av, av, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32,
+                                  precision=HI))
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            gext_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+def gn_full_first_pallas(vu_p, vv_p, y, slbc_p, wmask, k: int, nx: int,
+                         tile: int, hdx: float, hdy: float, *,
+                         interpret: bool = False):
+    """First GN iteration of a time step: system at the incoming state
+    + the step constant cp. Returns (gext (kp, kp), cp (n_pad, 2))."""
+    with jax.enable_x64(False):
+        return _gn_full_pallas(vu_p, vv_p, y, slbc_p, wmask, k, nx,
+                               tile, hdx, hdy, first=True,
+                               interpret=interpret)
+
+
+def gn_full_system_pallas(vu_p, vv_p, y, cp, wmask, k: int, nx: int,
+                          tile: int, hdx: float, hdy: float, *,
+                          interpret: bool = False):
+    """Subsequent GN iteration: system at y with the step's cp.
+    Returns gext (kp, kp)."""
+    with jax.enable_x64(False):
+        return _gn_full_pallas(vu_p, vv_p, y, cp, wmask, k, nx, tile,
+                               hdx, hdy, first=False,
+                               interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "nx", "tile", "hdx", "hdy",
+                                    "first", "interpret"))
+def _gn_full_pallas(vu_p, vv_p, y, aux, wmask, k, nx, tile, hdx, hdy,
+                    *, first, interpret):
+    f32 = jnp.float32
+    n_pad, kp = vu_p.shape
+    y_pad = jnp.zeros((kp, 1), f32).at[:k, 0].set(y.astype(f32))
+    kernel = _make_full_kernel(k, nx, tile, hdx, hdy, kp, first)
+    aux_cols = 1 if first else 2
+    out_specs = [pl.BlockSpec((kp, kp), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((kp, kp), f32)]
+    if first:
+        out_specs.append(pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, 2), f32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, aux_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if first else out_specs[0],
+        out_shape=out_shape if first else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((kp, kp), f32),
+            pltpu.VMEM((nx, kp), f32),
+            pltpu.VMEM((nx, kp), f32),
+            pltpu.VMEM((nx, 1), f32),
+            pltpu.VMEM((nx, 1), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(vu_p.astype(f32), vv_p.astype(f32), y_pad, aux.astype(f32),
+      wmask.astype(f32))
+    return tuple(out) if first else out

@@ -166,6 +166,166 @@ def sharded_fom_step(mesh: Mesh, grid: Grid2D, dt, *,
                   out_specs=(spec, spec)))
 
 
+def sharded_skewed_fom(mesh: Mesh, grid: Grid2D, w0, dt, num_steps,
+                       mu1, mu2, *, axis_name: str = "sp",
+                       max_its: int = 100,
+                       relnorm_cutoff: float | None = None,
+                       snaps_dtype=None):
+    """FULL-TRAJECTORY implicit FOM on the skewed (anti-diagonal)
+    layout, sharded along the grid-row axis of the skewed plane — the
+    single-chip fast path's layout (ops/skewed.py,
+    fom.inviscid_burgers_implicit2d_skewed) made SPMD (VERDICT r3 #3c).
+
+    Sharding: skewed fields are (nd_pad, ny_pad) with axis 0 the
+    anti-diagonal index and axis 1 the grid row r; axis 1 shards over
+    `axis_name`. In skewed space the upwind stencil needs S[d-1, r]
+    (local shift) and S[d-1, r-1] (one-slot halo along the sharded
+    axis, a single `ppermute` column per residual). The EXACT wavefront
+    substitution stays a lax.scan over diagonals; its per-diagonal
+    carry shift r-1 becomes one ppermute of a packed (4, 1) halo per
+    scan step — correct-by-construction SPMD of the same recurrence,
+    validated against the dense single-device engine
+    (tests/test_parallel.py). On real ICI this path is
+    latency-dominated at the scan tail (one hop per diagonal); the
+    row-sharded block-Jacobi engine (sharded_fom_step) remains the
+    throughput alternative, but this one unifies the performance
+    layout and the sharded layout.
+
+    Same Newton stopping rules as the single-chip skewed stepper
+    (relative 1e-12 cutoff for f64, 0.99 stagnation guard); residual
+    norms are global psums. Returns FOMResult-compatible
+    (snaps (2n, num_steps+1), total_newton_its).
+    """
+    from finitedifference_tpu.ops import skewed as sk
+
+    w0 = jnp.asarray(w0)
+    dtype = w0.dtype
+    if relnorm_cutoff is None:
+        relnorm_cutoff = 1e-12 if dtype == jnp.float64 else 1e-6
+    sd = snaps_dtype or dtype
+    num = mesh.shape[axis_name]
+    lay = sk.make_layout(grid)
+    if lay.ny_pad % num:
+        raise ValueError(f"ny_pad={lay.ny_pad} not divisible by "
+                         f"{axis_name}={num}")
+
+    valid = sk.valid_mask(lay, dtype)
+    src_sk = sk.skewed_source(lay, grid, mu2, dt, dtype)
+    lbc_sk = sk.skewed_inflow_bc(lay, grid, mu1, dt, dtype)
+    u0, v0 = grid.split_fields(w0)
+    su0 = sk.to_skewed(u0, lay)
+    sv0 = sk.to_skewed(v0, lay)
+
+    kx = 0.5 * dt / grid.dx
+    ky = 0.5 * dt / grid.dy
+    half_dt = 0.5 * dt
+    perm_fwd = [(i, i + 1) for i in range(num - 1)]
+
+    def shift_r(x):
+        """S[..., r] -> S[..., r-1] across shards (zero ghost at r=0)."""
+        halo = jax.lax.ppermute(x[..., -1:], axis_name, perm_fwd)
+        return jnp.concatenate([halo, x[..., :-1]], axis=-1)
+
+    def local_traj(su, sv, src, lbc, vmask):
+        def res(u, v, up, vp):
+            fu = 0.5 * (u * u + up * up)
+            fv = 0.5 * (v * v + vp * vp)
+            fuv = 0.5 * (u * v + up * vp)
+            ddx = lambda f: (f - sk.shift_prev_diag(f)) / grid.dx
+            ddy = lambda f: \
+                (f - shift_r(sk.shift_prev_diag(f))) / grid.dy
+            ru = u - up + half_dt * (ddx(fu) + ddy(fuv)) - src - lbc
+            rv = v - vp + half_dt * (ddy(fv) + ddx(fuv))
+            return ru * vmask, rv * vmask
+
+        def solve(u, v, ru, rv):
+            """Exact wavefront substitution, r-axis sharded: scan over
+            diagonals with one packed halo ppermute per step."""
+            def dstep(carry, xs):
+                packed_p = carry                   # (4, ny_loc)
+                u_d, v_d, fu_d, fv_d, valid_d = xs
+                sh = shift_r(packed_p)
+                u_p, v_p, du_p, dv_p = packed_p
+                u_s, v_s, du_s, dv_s = sh
+                rhs_u = fu_d + kx * u_p * du_p \
+                    + 0.5 * ky * (v_s * du_s + u_s * dv_s)
+                rhs_v = fv_d + 0.5 * kx * (v_p * du_p + u_p * dv_p) \
+                    + ky * v_s * dv_s
+                b11 = 1.0 + kx * u_d + 0.5 * ky * v_d
+                b12 = 0.5 * ky * u_d
+                b21 = 0.5 * kx * v_d
+                b22 = 1.0 + ky * v_d + 0.5 * kx * u_d
+                det = b11 * b22 - b12 * b21
+                du_d = jnp.where(valid_d > 0,
+                                 (b22 * rhs_u - b12 * rhs_v) / det, 0.0)
+                dv_d = jnp.where(valid_d > 0,
+                                 (b11 * rhs_v - b21 * rhs_u) / det, 0.0)
+                return jnp.stack([u_d, v_d, du_d, dv_d]), (du_d, dv_d)
+
+            # derive the zero carry from the data so it inherits the
+            # shard_map varying manual axes (scan requires carry-type
+            # equality including vma)
+            z = 0.0 * jnp.stack([u[0], v[0], u[0], v[0]])
+            _, (sdu, sdv) = jax.lax.scan(
+                dstep, z, (u, v, ru, rv, vmask))
+            return sdu, sdv
+
+        def norm2(ru, rv):
+            ss = jnp.sum(ru * ru) + jnp.sum(rv * rv)
+            return jnp.sqrt(jax.lax.psum(ss, axis_name))
+
+        def newton(up, vp):
+            r0u, r0v = res(up, vp, up, vp)
+            init_norm = norm2(r0u, r0v)
+
+            def cond(c):
+                _, _, it, done, _, _ = c
+                return jnp.logical_and(~done, it < max_its)
+
+            def body(c):
+                u, v, it, done, _, prev = c
+                ru, rv = res(u, v, up, vp)
+                rn = norm2(ru, rv)
+                conv = rn / init_norm < relnorm_cutoff
+                stag = jnp.logical_and(it > 0, rn > 0.99 * prev)
+                stop = jnp.logical_or(conv, stag)
+                du, dv = solve(u, v, ru, rv)
+                u_new = jnp.where(stop, u, u - du)
+                v_new = jnp.where(stop, v, v - dv)
+                return (u_new, v_new, it + 1, stop, rn, rn)
+
+            done0 = jnp.isnan(init_norm)      # False, axes-consistent
+            big = jnp.full_like(init_norm, jnp.inf)
+            u, v, it, done, _, _ = jax.lax.while_loop(
+                cond, body,
+                (up, vp, jnp.int32(0), done0, init_norm, big))
+            return u, v, it - done.astype(jnp.int32)
+
+        def step(carry, _):
+            up, vp, its = carry
+            u, v, nits = newton(up, vp)
+            return (u, v, its + nits), (u.astype(sd), v.astype(sd))
+
+        (_, _, its), (us, vs) = jax.lax.scan(
+            step, (su, sv, jnp.int32(0)), None, length=num_steps)
+        return us, vs, its
+
+    spec = P(None, axis_name)
+    traj = jax.jit(shard_map(
+        local_traj, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=(P(None, None, axis_name), P(None, None, axis_name),
+                   P())))
+    us, vs, its = traj(su0, sv0, src_sk, lbc_sk, valid)
+
+    us = jnp.concatenate((su0.astype(sd)[None], us), axis=0)
+    vs = jnp.concatenate((sv0.astype(sd)[None], vs), axis=0)
+    u_t = sk.from_skewed(us, lay).reshape(num_steps + 1, -1)
+    v_t = sk.from_skewed(vs, lay).reshape(num_steps + 1, -1)
+    snaps = jnp.concatenate((u_t, v_t), axis=1).T
+    return snaps, its
+
+
 def sharded_sweep_fom_step(mesh: Mesh, grid: Grid2D, dt, *,
                            dp_axis: str = "dp", sp_axis: str = "sp",
                            num_sweeps: int = 32, max_its: int = 50,

@@ -18,7 +18,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def setup_jax(f32: bool = False, platform: str | None = None):
+def setup_jax(f32: bool = False, platform: str | None = None,
+              n_devices: int | None = None):
     """x64 is ALWAYS enabled: closure cores must be able to compute in
     f64 even when the online state runs f32 (their kernel-weight
     contractions cancel by ~5e5 — see closures/rbf.py). `f32` only
@@ -34,6 +35,13 @@ def setup_jax(f32: bool = False, platform: str | None = None):
     platform = platform or os.environ.get("FDTPU_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    if n_devices:
+        # virtual device shards for --spatial-shard runs; must land
+        # before the backend initializes (lazy), like the platform pin
+        try:
+            jax.config.update("jax_num_cpu_devices", n_devices)
+        except Exception:
+            pass
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: repeated runner invocations (and the
     # run_tests drivers) skip the multi-minute XLA compiles
