@@ -342,9 +342,31 @@ def rom_metrics(dt, steps=500):
     out["prom95_250_f32_timesteps_per_sec"] = round(steps / el, 1)
     _stderr(f"bench: PROM(95) 250^2 f32: {el:.3f}s / {steps} steps")
 
+    # streaming full-grid Pallas PROM engine (rom_factored.pallas_prom):
+    # one basis read per GN iteration (VERDICT r3 #2)
+    try:
+        from finitedifference_tpu.rom_factored import (
+            pallas_prom,
+            precompute_prom_pallas,
+        )
+        vu_p, vv_p, dmask, _ = precompute_prom_pallas(
+            grid, np.asarray(basis))
+        y0p = jnp.asarray(basis.T @ w0, f32)
+        el = timed(lambda: float(jnp.sum(pallas_prom(
+            grid, vu_p, vv_p, dmask, y0p, dt, steps, 4.75,
+            0.02).red_coords)))
+        out["prom95_pallas_250_f32_timesteps_per_sec"] = \
+            round(steps / el, 1)
+        _stderr(f"bench: pallas PROM(95) 250^2 f32: {el:.3f}s "
+                f"/ {steps} steps")
+        del vu_p, vv_p
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering is backend-
+        _stderr(f"bench: pallas PROM skipped ({type(e).__name__}: "
+                f"{str(e)[:200]})")
+
     if os.path.exists("ecsw_weights_lspg.npy"):
         weights = np.load("ecsw_weights_lspg.npy")
-        out["hprom_mesh"] = "ecsw_weights_lspg.npy"
+        out["hprom_mesh"] = f"nnls_{int((weights > 0).sum())}"
     else:
         # synthetic sampled mesh: online THROUGHPUT depends only on the
         # mesh size, not the weight values; N_e matches the round-1 NNLS
@@ -544,6 +566,28 @@ def fine_rom_metrics(dt, fom_rate_750, steps=500):
             ls_method="normal").red_coords)))
         out[f"prom{nm}_750_f32_timesteps_per_sec"] = round(steps / el, 1)
         _stderr(f"bench: PROM({nm}) 750^2 f32: {el:.3f}s / {steps} steps")
+
+        # streaming Pallas PROM: the fine full-grid fast engine — the
+        # reference's PROM economics target (1.6x its FOM) is judged on
+        # this row (VERDICT r3 #2)
+        try:
+            from finitedifference_tpu.rom_factored import (
+                pallas_prom,
+                precompute_prom_pallas,
+            )
+            vu_p, vv_p, dmask, _ = precompute_prom_pallas(grid, basis)
+            y0p = jnp.asarray(basis.T @ np.asarray(w0), f32)
+            el = timed(lambda: float(jnp.sum(pallas_prom(
+                grid, vu_p, vv_p, dmask, y0p, dt, steps, 4.75,
+                0.02).red_coords)))
+            out[f"prom{nm}_pallas_750_f32_timesteps_per_sec"] = \
+                round(steps / el, 1)
+            _stderr(f"bench: pallas PROM({nm}) 750^2 f32: {el:.3f}s "
+                    f"/ {steps} steps")
+            del vu_p, vv_p
+        except Exception as e:  # noqa: BLE001
+            _stderr(f"bench: pallas PROM({nm}) skipped "
+                    f"({type(e).__name__}: {str(e)[:200]})")
 
         wpath = "ecsw_weights_lspg_750x750.npy" if nm == 95 \
             else f"ecsw_weights_lspg_{nm}modes_750x750.npy"

@@ -7,14 +7,23 @@ blocks are west/south SHIFTS of the two basis halves — no gather and no
 6x memory blowup. ONE streaming pass over (Vu, Vv) per Gauss-Newton
 iteration computes the state scalars (MXU GEMV), the Crank-Nicolson
 residual, the row-scaled J V contributions, and the (k+1, k+1) Gram
-extension. The west shift is an in-tile sublane shift (masked at the
-inflow column); the south halo — the last grid row of the previous row
-tile — is carried in VMEM scratch, which persists because the TPU
-Pallas grid executes sequentially.
+extension. The west shift is an in-tile shift by one row; the south
+halo — the last grid row of the previous row tile — is carried in VMEM
+scratch, which persists because the TPU Pallas grid executes
+sequentially.
+
+Layout trick: grid rows are padded from nx to an 8-multiple nx_pad with
+DEAD cells carrying zero basis rows. That makes the south shift (nx_pad
+rows) exactly sublane-tile-aligned — a misaligned 750-row shift blew
+Mosaic's compile up into per-tile select chains — AND the dead tail of
+each row doubles as the west zero-ghost of the next row's inflow
+column, so no boundary mask is needed anywhere: dead cells have zero
+scalars, zero residual (their step constant is zero) and zero J V rows,
+so they vanish from the Gram identically.
 
 HBM traffic per iteration is exactly one read of the padded basis
-(2 * n * kp f32: ~0.58 GB at 750^2/95 modes) plus the (n, 2) step
-constants — vs the multi-GB J V GEMM chain of the XLA LSPG path
+(2 * n_pad * kp f32: ~0.58 GB at 750^2/95 modes) plus the (n_pad, 2)
+step constants — vs the multi-GB J V GEMM chain of the XLA LSPG path
 (rom.lspg_prom), whose fine-grid PROM ran 12-19x SLOWER than its own
 FOM (VERDICT r3 #2). This engine gives the full-grid PROM the sampled
 engines' economics.
@@ -27,13 +36,11 @@ stream cp back in. A time step therefore costs exactly `its` basis
 reads — no separate decode/extra GEMV per step.
 
 float32 only (Mosaic has no f64), traced under jax.enable_x64(False)
-like the other kernels. Zero-padding: ny pads to a row-tile multiple
-with zero basis rows and zero cp (their residual and J V rows vanish
-identically, so they contribute nothing to the Gram); the mode axis
-pads to a 128-lane multiple with the residual in lane k, exactly the
-ops/pallas_gn.py convention. f32 dots force HIGHEST precision (the MXU
-default f32 path is single-pass bf16 — the round-2 trajectory-wrecking
-root cause, see precision.py::hi_matmul).
+like the other kernels. The mode axis pads to a 128-lane multiple with
+the residual in lane k, exactly the ops/pallas_gn.py convention. f32
+dots force HIGHEST precision (the MXU default f32 path is single-pass
+bf16 — the round-2 trajectory-wrecking root cause, see
+precision.py::hi_matmul).
 
 Reference semantics: inviscid_burgers_implicit2D_LSPG +
 gauss_newton_LSPG (hypernet2D.py:133-200, 1859-1929); the streaming
@@ -58,53 +65,52 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def min_tile_rows(nx: int) -> int:
-    """Smallest row count r with r * nx a sublane (8) multiple."""
-    r = 1
-    while (r * nx) % 8:
-        r *= 2
-    return r
+def full_layout(grid, tile_rows: int = 4):
+    """(nx_pad, ny_pad, tile) of the dead-cell-padded row layout."""
+    nx_pad = _round_up(grid.nx + 1, 8)   # >= nx+1: a real west ghost
+    ny_pad = _round_up(grid.ny, tile_rows)
+    return nx_pad, ny_pad, tile_rows * nx_pad
+
+
+def pad_field_full(f2d, grid, tile_rows: int = 4, dtype=np.float32):
+    """(ny, nx) field -> flat (ny_pad * nx_pad,) with zero dead cells."""
+    nx_pad, ny_pad, _ = full_layout(grid, tile_rows)
+    out = np.zeros((ny_pad, nx_pad), dtype)
+    out[: grid.ny, : grid.nx] = np.asarray(f2d, dtype)
+    return out.reshape(-1)
 
 
 def pad_basis_full(basis, grid, tile_rows: int | None = None):
     """Split + pad a (2n, k) basis for the full-grid kernel.
 
-    Returns (vu_p, vv_p, wmask, tile_rows): (n_pad, kp) f32 halves with
-    ny padded to a tile_rows multiple and k+1 padded to a 128-lane
-    multiple, plus the (tile, 1) west-shift validity mask (0 at the
-    inflow column x=0, periodic per tile so one tile's worth suffices).
+    Returns (vu_p, vv_p, tile_rows): (ny_pad * nx_pad, kp) f32 halves
+    in the dead-cell row layout with k+1 padded to a 128-lane multiple.
     """
     basis = np.asarray(basis, np.float32)
     n = grid.n_cells
-    nx, ny = grid.nx, grid.ny
     k = basis.shape[1]
     if tile_rows is None:
-        tile_rows = max(4, min_tile_rows(nx))
-    tile_rows = _round_up(tile_rows, min_tile_rows(nx))
-    ny_pad = _round_up(ny, tile_rows)
+        tile_rows = 4
+    nx_pad, ny_pad, _ = full_layout(grid, tile_rows)
     kp = _round_up(k + 1, KP)
 
     def padded(half):
-        out = np.zeros((ny_pad * nx, kp), np.float32)
-        out[:n, :k] = half
-        return jnp.asarray(out)
+        out = np.zeros((ny_pad, nx_pad, kp), np.float32)
+        out[: grid.ny, : grid.nx, :k] = half.reshape(grid.ny, grid.nx,
+                                                     k)
+        return jnp.asarray(out.reshape(ny_pad * nx_pad, kp))
 
-    vu_p = padded(basis[:n])
-    vv_p = padded(basis[n:])
-    tile = tile_rows * nx
-    wmask = np.ones((tile, 1), np.float32)
-    wmask[::nx] = 0.0
-    return vu_p, vv_p, jnp.asarray(wmask), tile_rows
+    return padded(basis[:n]), padded(basis[n:]), tile_rows
 
 
-def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
+def _make_full_kernel(k: int, nxp: int, tile: int, hdx: float,
                       hdy: float, kp: int, first: bool):
-    """Streaming full-grid GN system kernel.
+    """Streaming full-grid GN system kernel (dead-cell row layout).
 
-    first=True: derive + emit the per-step constant cp from the incoming
-    state's scalars (input slbc = src + lbc); the emitted Gram extension
-    is the iteration AT the previous state, whose ||r|| is the step's
-    init_norm. first=False: stream cp back in.
+    first=True: derive + emit the per-step constant cp from the
+    incoming state's scalars (input slbc = padded src + lbc); the
+    emitted Gram extension is the iteration AT the previous state,
+    whose ||r|| is the step's init_norm. first=False: stream cp in.
     """
     hdx = np.float32(hdx)
     hdy = np.float32(hdy)
@@ -113,7 +119,7 @@ def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
     one = np.float32(1.0)
     f32 = jnp.float32
 
-    def kernel(vu_ref, vv_ref, y_ref, aux_ref, wmask_ref, gext_ref,
+    def kernel(vu_ref, vv_ref, y_ref, aux_ref, dmask_ref, gext_ref,
                *rest):
         if first:
             cp_ref, acc_ref, vu_c, vv_c, u_c, v_c = rest
@@ -132,7 +138,7 @@ def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
         vu = vu_ref[...]                     # (tile, kp)
         vv = vv_ref[...]
         y = y_ref[...]                       # (kp, 1)
-        wmask = wmask_ref[...]               # (tile, 1)
+        dmask = dmask_ref[...]               # (tile, 1): 1 = real cell
 
         def dot_y(b):
             return jax.lax.dot_general(
@@ -142,37 +148,38 @@ def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
         u_s = dot_y(vu)
         v_s = dot_y(vv)
 
-        # south halo: previous tile's last grid row (carried scratch)
-        vu_old = vu_c[...]                   # (nx, kp)
+        # south halo: previous tile's last padded grid row (scratch)
+        vu_old = vu_c[...]                   # (nxp, kp)
         vv_old = vv_c[...]
-        u_old = u_c[...]                     # (nx, 1)
+        u_old = u_c[...]                     # (nxp, 1)
         v_old = v_c[...]
 
-        # west shift: one sublane down within the tile, seeded with the
-        # carry's last row, zeroed at the inflow column
-        bu_w = jnp.concatenate([vu_old[-1:], vu[:-1]], axis=0) * wmask
-        bv_w = jnp.concatenate([vv_old[-1:], vv[:-1]], axis=0) * wmask
-        u_w = jnp.concatenate([u_old[-1:], u_s[:-1]], axis=0) * wmask
-        v_w = jnp.concatenate([v_old[-1:], v_s[:-1]], axis=0) * wmask
+        # west shift: one row down within the tile, seeded with the
+        # carry's last row. The inflow column's "west" lands on the
+        # previous row's DEAD tail cell, which is zero — the ghost.
+        bu_w = jnp.concatenate([vu_old[-1:], vu[:-1]], axis=0)
+        bv_w = jnp.concatenate([vv_old[-1:], vv[:-1]], axis=0)
+        u_w = jnp.concatenate([u_old[-1:], u_s[:-1]], axis=0)
+        v_w = jnp.concatenate([v_old[-1:], v_s[:-1]], axis=0)
 
-        # south shift: nx sublanes down, seeded with the carried row
-        bu_so = jnp.concatenate([vu_old, vu[:-nx]], axis=0)
-        bv_so = jnp.concatenate([vv_old, vv[:-nx]], axis=0)
-        u_so = jnp.concatenate([u_old, u_s[:-nx]], axis=0)
-        v_so = jnp.concatenate([v_old, v_s[:-nx]], axis=0)
+        # south shift: nxp rows down (sublane-tile aligned by layout)
+        bu_so = jnp.concatenate([vu_old, vu[:-nxp]], axis=0)
+        bv_so = jnp.concatenate([vv_old, vv[:-nxp]], axis=0)
+        u_so = jnp.concatenate([u_old, u_s[:-nxp]], axis=0)
+        v_so = jnp.concatenate([v_old, v_s[:-nxp]], axis=0)
 
-        vu_c[...] = vu[-nx:]
-        vv_c[...] = vv[-nx:]
-        u_c[...] = u_s[-nx:]
-        v_c[...] = v_s[-nx:]
+        vu_c[...] = vu[-nxp:]
+        vv_c[...] = vv[-nxp:]
+        u_c[...] = u_s[-nxp:]
+        v_c[...] = v_s[-nxp:]
 
         fuv = u_s * v_s
         ru_f = qdx * (u_s * u_s - u_w * u_w) + qdy * (fuv - u_so * v_so)
         rv_f = qdy * (v_s * v_s - v_so * v_so) + qdx * (fuv - u_w * v_w)
         if first:
-            slbc = aux_ref[...]              # (tile, 1)
-            cp_u = -u_s + ru_f - slbc
-            cp_v = -v_s + rv_f
+            slbc = aux_ref[...]              # (tile, 1), zero on dead
+            cp_u = (-u_s + ru_f - slbc) * dmask
+            cp_v = (-v_s + rv_f) * dmask
             cp_ref[:, 0:1] = cp_u
             cp_ref[:, 1:2] = cp_v
         else:
@@ -197,9 +204,13 @@ def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
         jv = cv0 * vu + cv1 * bu_w + cv3 * vv \
             + cv4 * bv_w + cv5 * bv_so
 
+        # dead cells carry zero basis rows, BUT their west neighbor is
+        # a real cell, so their flux/J V terms are nonzero — mask their
+        # assembled rows out of the Gram (real cells are untouched: no
+        # real cell has a dead west/south neighbor with nonzero value)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
-        au = jnp.where(lane == k, ru, ju)
-        av = jnp.where(lane == k, rv, jv)
+        au = jnp.where(lane == k, ru, ju) * dmask
+        av = jnp.where(lane == k, rv, jv) * dmask
 
         acc_ref[...] += (
             jax.lax.dot_general(au, au, (((0,), (0,)), ((), ())),
@@ -215,37 +226,46 @@ def _make_full_kernel(k: int, nx: int, tile: int, hdx: float,
     return kernel
 
 
-def gn_full_first_pallas(vu_p, vv_p, y, slbc_p, wmask, k: int, nx: int,
-                         tile: int, hdx: float, hdy: float, *,
-                         interpret: bool = False):
+def row_mask(grid, tile_rows: int = 4):
+    """(tile, 1) f32 mask: 1 at real columns, 0 at the dead tail —
+    periodic per tile, so one tile's worth serves every tile."""
+    nx_pad, _, tile = full_layout(grid, tile_rows)
+    m = np.zeros((tile, 1), np.float32)
+    m.reshape(-1, nx_pad)[:, : grid.nx] = 1.0
+    return jnp.asarray(m)
+
+
+def gn_full_first_pallas(vu_p, vv_p, y, slbc_p, dmask, k: int,
+                         nxp: int, tile: int, hdx: float, hdy: float,
+                         *, interpret: bool = False):
     """First GN iteration of a time step: system at the incoming state
     + the step constant cp. Returns (gext (kp, kp), cp (n_pad, 2))."""
     with jax.enable_x64(False):
-        return _gn_full_pallas(vu_p, vv_p, y, slbc_p, wmask, k, nx,
+        return _gn_full_pallas(vu_p, vv_p, y, slbc_p, dmask, k, nxp,
                                tile, hdx, hdy, first=True,
                                interpret=interpret)
 
 
-def gn_full_system_pallas(vu_p, vv_p, y, cp, wmask, k: int, nx: int,
+def gn_full_system_pallas(vu_p, vv_p, y, cp, dmask, k: int, nxp: int,
                           tile: int, hdx: float, hdy: float, *,
                           interpret: bool = False):
     """Subsequent GN iteration: system at y with the step's cp.
     Returns gext (kp, kp)."""
     with jax.enable_x64(False):
-        return _gn_full_pallas(vu_p, vv_p, y, cp, wmask, k, nx, tile,
+        return _gn_full_pallas(vu_p, vv_p, y, cp, dmask, k, nxp, tile,
                                hdx, hdy, first=False,
                                interpret=interpret)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "nx", "tile", "hdx", "hdy",
+                   static_argnames=("k", "nxp", "tile", "hdx", "hdy",
                                     "first", "interpret"))
-def _gn_full_pallas(vu_p, vv_p, y, aux, wmask, k, nx, tile, hdx, hdy,
-                    *, first, interpret):
+def _gn_full_pallas(vu_p, vv_p, y, aux, dmask, k, nxp, tile, hdx,
+                    hdy, *, first, interpret):
     f32 = jnp.float32
     n_pad, kp = vu_p.shape
     y_pad = jnp.zeros((kp, 1), f32).at[:k, 0].set(y.astype(f32))
-    kernel = _make_full_kernel(k, nx, tile, hdx, hdy, kp, first)
+    kernel = _make_full_kernel(k, nxp, tile, hdx, hdy, kp, first)
     aux_cols = 1 if first else 2
     out_specs = [pl.BlockSpec((kp, kp), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
@@ -273,14 +293,14 @@ def _gn_full_pallas(vu_p, vv_p, y, aux, wmask, k, nx, tile, hdx, hdy,
         out_shape=out_shape if first else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((kp, kp), f32),
-            pltpu.VMEM((nx, kp), f32),
-            pltpu.VMEM((nx, kp), f32),
-            pltpu.VMEM((nx, 1), f32),
-            pltpu.VMEM((nx, 1), f32),
+            pltpu.VMEM((nxp, kp), f32),
+            pltpu.VMEM((nxp, kp), f32),
+            pltpu.VMEM((nxp, 1), f32),
+            pltpu.VMEM((nxp, 1), f32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vu_p.astype(f32), vv_p.astype(f32), y_pad, aux.astype(f32),
-      wmask.astype(f32))
+      dmask.astype(f32))
     return tuple(out) if first else out

@@ -397,11 +397,15 @@ def pallas_hprom(grid: Grid2D, mesh, p6p, wgt_p, y0, dt, num_steps,
 
 
 def precompute_prom_pallas(grid: Grid2D, basis, tile_rows=None):
-    """Padded (vu_p, vv_p, wmask, tile_rows) for pallas_prom
-    (ops/pallas_gn_full.pad_basis_full)."""
-    from finitedifference_tpu.ops.pallas_gn_full import pad_basis_full
+    """Padded (vu_p, vv_p, dmask, tile_rows) for pallas_prom
+    (ops/pallas_gn_full.pad_basis_full + row_mask)."""
+    from finitedifference_tpu.ops.pallas_gn_full import (
+        pad_basis_full,
+        row_mask,
+    )
 
-    return pad_basis_full(basis, grid, tile_rows)
+    vu_p, vv_p, tr = pad_basis_full(basis, grid, tile_rows)
+    return vu_p, vv_p, row_mask(grid, tr), tr
 
 
 @functools.partial(
@@ -409,7 +413,7 @@ def precompute_prom_pallas(grid: Grid2D, basis, tile_rows=None):
     static_argnames=("grid", "dt", "num_steps", "max_its", "unroll_its",
                      "ls_method", "interpret"),
 )
-def pallas_prom(grid: Grid2D, vu_p, vv_p, wmask, y0, dt, num_steps,
+def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
                 mu1, mu2, *, max_its: int = 20,
                 relnorm_cutoff: float = 1e-5, min_delta: float = 0.1,
                 unroll_its: int = 0, ls_method: str = "normal",
@@ -433,6 +437,7 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, wmask, y0, dt, num_steps,
     (including the mandatory first), as in factored_hprom.
     """
     from finitedifference_tpu.ops.pallas_gn_full import (
+        _round_up,
         gn_full_first_pallas,
         gn_full_system_pallas,
     )
@@ -445,15 +450,16 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, wmask, y0, dt, num_steps,
     y0 = jnp.asarray(y0, f32)
     k = y0.shape[0]
     n_pad = vu_p.shape[0]
-    nx = grid.nx
-    tile = wmask.shape[0]
+    nxp = _round_up(grid.nx + 1, 8)      # dead-cell row layout
+    tile = dmask.shape[0]
+    ny_pad = n_pad // nxp
     hdx = float(0.5 * dt / grid.dx)
     hdy = float(0.5 * dt / grid.dy)
 
-    src = source_term(grid, mu2, dt, f32).ravel()
-    lbc = inflow_bc_term(grid, mu1, dt, f32).ravel()
-    slbc = jnp.zeros((n_pad, 1), f32).at[:grid.n_cells, 0].set(
-        src + lbc)
+    slbc2d = source_term(grid, mu2, dt, f32) \
+        + inflow_bc_term(grid, mu1, dt, f32)
+    slbc = jnp.zeros((ny_pad, nxp), f32).at[
+        : grid.ny, : grid.nx].set(slbc2d).reshape(n_pad, 1)
 
     def solve_ls(gext):
         g, b = gext[:k, :k], -gext[:k, k]
@@ -483,8 +489,8 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, wmask, y0, dt, num_steps,
 
     def gn_body(carry):
         y, it, done, rn_prev, init_norm, cp = carry
-        gext = gn_full_system_pallas(vu_p, vv_p, y, cp, wmask, k, nx,
-                                     tile, hdx, hdy,
+        gext = gn_full_system_pallas(vu_p, vv_p, y, cp, dmask, k,
+                                     nxp, tile, hdx, hdy,
                                      interpret=interpret)
         rn = jnp.sqrt(gext[k, k])
         conv = rn / init_norm < relnorm_cutoff
@@ -502,8 +508,8 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, wmask, y0, dt, num_steps,
 
     def step(carry, _):
         yp, its = carry
-        gext0, cp = gn_full_first_pallas(vu_p, vv_p, yp, slbc, wmask,
-                                         k, nx, tile, hdx, hdy,
+        gext0, cp = gn_full_first_pallas(vu_p, vv_p, yp, slbc, dmask,
+                                         k, nxp, tile, hdx, hdy,
                                          interpret=interpret)
         init_norm = jnp.sqrt(gext0[k, k])
         y1 = yp + solve_ls(gext0)

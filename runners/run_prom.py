@@ -12,7 +12,7 @@ from common import base_parser, default_config, default_ls, \
 
 
 def main(mu1=4.75, mu2=0.02, num_modes=95, load_basis=True,
-         num_cells=None, num_steps=None, f32=False):
+         num_cells=None, num_steps=None, f32=False, engine="generic"):
     setup_jax(f32)
     import jax.numpy as jnp
 
@@ -31,10 +31,25 @@ def main(mu1=4.75, mu2=0.02, num_modes=95, load_basis=True,
     basis_d = jnp.asarray(basis, dtype)
     ls_kw = default_ls(f32)
 
-    def solve():
-        res = lspg_prom(grid, w0_d, cfg.dt, cfg.num_steps, mu1, mu2,
-                        basis_d, **ls_kw)
-        return np.asarray(res.red_coords), res.total_gn_its
+    if engine == "pallas":
+        # streaming full-grid Pallas GN engine (rom_factored.pallas_prom,
+        # f32): one basis read per GN iteration — the fast-PROM path
+        from finitedifference_tpu.rom_factored import (
+            pallas_prom,
+            precompute_prom_pallas,
+        )
+        vu_p, vv_p, dmask, _ = precompute_prom_pallas(grid, basis)
+        y0 = jnp.asarray(basis.T @ w0, jnp.float32)
+
+        def solve():
+            res = pallas_prom(grid, vu_p, vv_p, dmask, y0,
+                              float(cfg.dt), cfg.num_steps, mu1, mu2)
+            return np.asarray(res.red_coords), res.total_gn_its
+    else:
+        def solve():
+            res = lspg_prom(grid, w0_d, cfg.dt, cfg.num_steps, mu1, mu2,
+                            basis_d, **ls_kw)
+            return np.asarray(res.red_coords), res.total_gn_its
 
     # timed to the materialized reduced coords (small fetch); the full
     # reconstruction below crosses the slow dev tunnel, so it stays
@@ -58,6 +73,10 @@ if __name__ == "__main__":
     p = base_parser(__doc__)
     p.add_argument("--num-modes", type=int, default=95)
     p.add_argument("--no-load-basis", action="store_true")
+    p.add_argument("--engine", default="generic",
+                   choices=["generic", "pallas"],
+                   help="pallas = streaming full-grid Pallas GN engine "
+                        "(f32, TPU; one basis read per iteration)")
     a = p.parse_args()
     main(a.mu1, a.mu2, a.num_modes, not a.no_load_basis,
-         a.num_cells, a.num_steps, a.f32)
+         a.num_cells, a.num_steps, a.f32, a.engine)

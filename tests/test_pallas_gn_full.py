@@ -28,9 +28,11 @@ def test_gn_full_system_matches_stencil_ops(prom_problem):
     full-grid assembly (residual at the previous state + J V from
     jacobian_times_basis)."""
     from finitedifference_tpu.ops.pallas_gn_full import (
+        full_layout,
         gn_full_first_pallas,
         gn_full_system_pallas,
         pad_basis_full,
+        row_mask,
     )
     from finitedifference_tpu.ops.stencil import (
         burgers_residual_flat,
@@ -42,9 +44,9 @@ def test_gn_full_system_matches_stencil_ops(prom_problem):
     grid, w0, basis, y0 = prom_problem
     f32 = jnp.float32
     k = int(y0.shape[0])
-    vu_p, vv_p, wmask, tile_rows = pad_basis_full(basis, grid,
-                                                  tile_rows=4)
-    tile = tile_rows * grid.nx
+    vu_p, vv_p, tile_rows = pad_basis_full(basis, grid, tile_rows=4)
+    dmask = row_mask(grid, tile_rows)
+    nxp, ny_pad, tile = full_layout(grid, tile_rows)
     kp = vu_p.shape[1]
     hdx = float(0.5 * DT / grid.dx)
     hdy = float(0.5 * DT / grid.dy)
@@ -66,7 +68,7 @@ def test_gn_full_system_matches_stencil_ops(prom_problem):
 
     # first kernel at yp: gext == system at yp; cp == CN step constant
     gext0, cp = gn_full_first_pallas(vu_p, vv_p, yp, _slbc(grid),
-                                     wmask, k, grid.nx, tile, hdx, hdy,
+                                     dmask, k, nxp, tile, hdx, hdy,
                                      interpret=True)
     r0 = burgers_residual_flat(wp, wp, MU[0], MU[1], DT, grid)
     jv0 = jacobian_times_basis(wp, bf, DT, grid)
@@ -77,7 +79,7 @@ def test_gn_full_system_matches_stencil_ops(prom_problem):
                                rtol=2e-4, atol=3e-4)
 
     # subsequent kernel at y with that cp == system at y
-    gext = gn_full_system_pallas(vu_p, vv_p, y, cp, wmask, k, grid.nx,
+    gext = gn_full_system_pallas(vu_p, vv_p, y, cp, dmask, k, nxp,
                                  tile, hdx, hdy, interpret=True)
     np.testing.assert_allclose(np.asarray(gext), ref,
                                rtol=2e-4, atol=3e-4)
@@ -88,27 +90,28 @@ def test_gn_full_system_matches_stencil_ops(prom_problem):
     lbc = np.asarray(inflow_bc_term(grid, MU[0], DT, f32)).ravel()
     rp = np.asarray(burgers_residual_flat(wp, wp, MU[0], MU[1], DT,
                                           grid))
-    cp_np = np.asarray(cp)
+    # cp rides in the padded dead-cell layout: gather the real cells
+    cp_u = np.asarray(cp)[:, 0].reshape(ny_pad, nxp)[
+        : grid.ny, : grid.nx].ravel()
     # at w == wp the residual is 2*half_flux - src - lbc and
     # cp = -u_p + half_flux(wp) - src - lbc, so r - cp - u_p must give
     # the same half-flux both ways
     up, vp_ = np.asarray(wp[:n]), np.asarray(wp[n:])
-    half_u = rp[:n] - (up + cp_np[:n, 0])
-    np.testing.assert_allclose(cp_np[:n, 0], -up + half_u - src - lbc,
+    half_u = rp[:n] - (up + cp_u)
+    np.testing.assert_allclose(cp_u, -up + half_u - src - lbc,
                                rtol=1e-4, atol=1e-5)
 
 
 def _slbc(grid):
+    from finitedifference_tpu.ops.pallas_gn_full import pad_field_full
     from finitedifference_tpu.ops.stencil import (
         inflow_bc_term,
         source_term,
     )
     f32 = jnp.float32
-    src = source_term(grid, MU[1], DT, f32).ravel()
-    lbc = inflow_bc_term(grid, MU[0], DT, f32).ravel()
-    n_pad = ((grid.ny + 3) // 4) * 4 * grid.nx
-    return jnp.zeros((n_pad, 1), f32).at[:grid.n_cells, 0].set(
-        src + lbc)
+    s2d = np.asarray(source_term(grid, MU[1], DT, f32)) \
+        + np.asarray(inflow_bc_term(grid, MU[0], DT, f32))
+    return jnp.asarray(pad_field_full(s2d, grid, 4)[:, None])
 
 
 def test_pallas_prom_matches_lspg(prom_problem):
@@ -165,16 +168,20 @@ def test_pad_basis_tile_rows():
     """Auto tile selection keeps T a sublane multiple and pads ny."""
     from finitedifference_tpu.grid import Grid2D
     from finitedifference_tpu.ops.pallas_gn_full import (
-        min_tile_rows,
+        full_layout,
         pad_basis_full,
+        row_mask,
     )
 
     for nx, ny in ((750, 750), (250, 250), (12, 10), (16, 16)):
         grid = Grid2D(nx=nx, ny=ny, x_up=100.0, y_up=100.0)
-        r = min_tile_rows(nx)
-        assert (r * nx) % 8 == 0
+        nxp, ny_pad, tile = full_layout(grid)
+        assert nxp % 8 == 0 and nxp > nx and tile % 8 == 0
         basis = np.zeros((2 * nx * ny, 5), np.float32)
-        vu_p, vv_p, wmask, tr = pad_basis_full(basis, grid)
-        assert tr % r == 0
-        assert vu_p.shape[0] % (tr * nx) == 0
-        assert wmask.shape == (tr * nx, 1)
+        vu_p, vv_p, tr = pad_basis_full(basis, grid)
+        assert vu_p.shape[0] == ny_pad * nxp
+        assert vu_p.shape[0] % tile == 0
+        m = np.asarray(row_mask(grid, tr))
+        assert m.shape == (tile, 1)
+        assert m.reshape(-1, nxp)[:, :nx].all()
+        assert not m.reshape(-1, nxp)[:, nx:].any()
