@@ -157,10 +157,20 @@ def _make_full_kernel(k: int, nxp: int, tile: int, hdx: float,
         # west shift: one row down within the tile, seeded with the
         # carry's last row. The inflow column's "west" lands on the
         # previous row's DEAD tail cell, which is zero — the ghost.
-        bu_w = jnp.concatenate([vu_old[-1:], vu[:-1]], axis=0)
-        bv_w = jnp.concatenate([vv_old[-1:], vv[:-1]], axis=0)
-        u_w = jnp.concatenate([u_old[-1:], u_s[:-1]], axis=0)
-        v_w = jnp.concatenate([v_old[-1:], v_s[:-1]], axis=0)
+        # pltpu.roll + row-0 select, NOT a concat: combining the
+        # misaligned-by-1 concat with the (aligned) south concat made
+        # Mosaic relayout the whole array at ~33 ms/call; the measured
+        # roll form runs the full kernel at 3.8 ms (ablation r4)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+
+        def west(b, b_old):
+            return jnp.where(row == 0, b_old[-1:],
+                             pltpu.roll(b, 1, axis=0))
+
+        bu_w = west(vu, vu_old)
+        bv_w = west(vv, vv_old)
+        u_w = west(u_s, u_old)
+        v_w = west(v_s, v_old)
 
         # south shift: nxp rows down (sublane-tile aligned by layout)
         bu_so = jnp.concatenate([vu_old, vu[:-nxp]], axis=0)

@@ -80,4 +80,7 @@ if [[ "$1" == "--with-fine-closures" ]]; then
     --mu-train spread --warm-start
 fi
 
+stage "claims-vs-artifacts acceptance gate (CPU host)"
+$CPU_ENV python scripts/check_claims.py --write-report
+
 stage "ALL DONE"
