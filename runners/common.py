@@ -191,7 +191,7 @@ def warm_enabled() -> bool:
 
 def split_training(cfg, grid, w0, num_total: int, num_primary: int,
                    num_secondary: int | None = None, basis_path=None,
-                   max_pairs: int = 1500):
+                   max_pairs: int = 1500, qcoords_dir: str | None = None):
     """POD split + projected training pairs for all closure ROMs.
 
     Returns (u_p, u_s, q_p, q_s): primary/secondary POD blocks and the
@@ -199,10 +199,17 @@ def split_training(cfg, grid, w0, num_total: int, num_primary: int,
     offline recipe of train_reduced_manifold_autoencoder.py:86-219,
     POD-RBF_global/compute_global_weights_*.py and POD-GP/train_gp.py).
 
+    qcoords_dir: directory of pre-projected (num_steps+1, num_total)
+    coordinate files (scripts/gen_fine_qcoords.py) — the mu-DENSIFIED
+    training set. When given, the pairs come from every file there
+    (subsampled per-trajectory so max_pairs spreads across mu evenly)
+    instead of projecting the 9 raw snapshot trajectories; the POD
+    basis itself stays the on-disk one the qcoords were projected on.
+
     Pairs beyond `max_pairs` are stride-subsampled: kernel-method fits
     are cubic in the pair count, and ~1.5k well-spread points along the
-    9 trajectories saturate interpolation accuracy (the reference
-    instead burns SLURM hours on the full 4.5k-point grid searches).
+    trajectories saturate interpolation accuracy (the reference instead
+    burns SLURM hours on the full 4.5k-point grid searches).
     """
     from finitedifference_tpu.pod import split_basis
     from finitedifference_tpu.snapshots import collect_snapshots
@@ -210,6 +217,28 @@ def split_training(cfg, grid, w0, num_total: int, num_primary: int,
 
     basis = get_or_build_basis(cfg, grid, w0, num_total, path=basis_path)
     u_p, u_s = split_basis(basis, num_primary, num_secondary)
+    if qcoords_dir:
+        import glob as _glob
+
+        files = sorted(
+            f for f in _glob.glob(os.path.join(qcoords_dir, "*.npz"))
+            if not os.path.basename(f).startswith("test_"))
+        if not files:
+            raise FileNotFoundError(
+                f"--qcoords-dir {qcoords_dir}: no training *.npz "
+                f"coordinate files (run scripts/gen_fine_qcoords.py)")
+        per_traj = max(1, (max_pairs or 10 ** 9) // len(files))
+        qs = []
+        for f in files:
+            q = np.load(f)["q"][:, :num_total]
+            stride = max(1, -(-q.shape[0] // per_traj))
+            qs.append(q[::stride])
+        q = np.concatenate(qs, axis=0)
+        n_s = (num_total - num_primary if num_secondary is None
+               else num_secondary)
+        q_p, q_s = q[:, :num_primary], q[:, num_primary:
+                                         num_primary + n_s]
+        return np.asarray(u_p), np.asarray(u_s), q_p, q_s
     snaps = collect_snapshots(cfg.mu_samples(), grid, w0, cfg.dt,
                               cfg.num_steps, snap_folder=cfg.snap_folder)
     q_p, q_s = project_snapshots(basis, snaps.T, num_primary,

@@ -37,6 +37,9 @@ sys.path.insert(0, ROOT)
 OUT_DIR = "fine_qcoords"
 
 
+TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
+
+
 def mu_grid(size: int):
     """size x size grid over the reference mu box (config.py:25-26)."""
     m1 = np.linspace(4.25, 5.5, size)
@@ -45,8 +48,9 @@ def mu_grid(size: int):
             for a in m1 for b in m2]
 
 
-def qpath(mu1, mu2):
-    return os.path.join(OUT_DIR, f"mu1_{mu1}+mu2_{mu2}.npy")
+def qpath(mu1, mu2, test=False):
+    stem = f"mu1_{mu1}+mu2_{mu2}.npz"
+    return os.path.join(OUT_DIR, ("test_" if test else "") + stem)
 
 
 def main():
@@ -82,18 +86,25 @@ def main():
     snap_folder = f"param_snaps{res}" if res else "param_snaps"
     os.makedirs(OUT_DIR, exist_ok=True)
 
-    points = mu_grid(a.grid_size)
-    todo = [mu for mu in points if not os.path.exists(qpath(*mu))]
+    # training grid + the 3 canonical test points (held-out validation
+    # targets for the offline closure fits; saved with a test_ prefix so
+    # split_training never trains on them)
+    points = [(m, False) for m in mu_grid(a.grid_size)] \
+        + [(m, True) for m in TEST_POINTS]
+    todo = [(mu, t) for mu, t in points
+            if not os.path.exists(qpath(*mu, test=t))]
     print(f"{len(points)} points, {len(todo)} to compute", flush=True)
 
     basis_d = None
     w0 = jnp.ones(grid.state_dim, jnp.float64)
-    for mu1, mu2 in todo:
+    hi = jax.lax.Precision.HIGHEST
+    for (mu1, mu2), is_test in todo:
         t0 = time.time()
         snap_fn = param_to_snap_fn([mu1, mu2], snap_folder=snap_folder)
         if os.path.exists(snap_fn):
             w = np.load(snap_fn).astype(np.float32)   # (2n, 501)
             q = (w.T @ basis).astype(np.float32)      # host project
+            w_norm = float(np.linalg.norm(w))
             src = "disk"
         else:
             if basis_d is None:
@@ -101,13 +112,18 @@ def main():
             r = inviscid_burgers_implicit2d_skewed(
                 grid, w0, 0.05, 500, mu1, mu2,
                 snaps_dtype=jnp.float32)
-            q = np.asarray(
-                jnp.matmul(r.snaps.T, basis_d,
-                           precision=jax.lax.Precision.HIGHEST))
+            q = np.asarray(jnp.matmul(r.snaps.T, basis_d,
+                                      precision=hi))
+            # ||w||_F on device: with an orthonormal basis this plus
+            # ||q||_F gives the exact 150-mode projection error floor
+            w_norm = float(jnp.sqrt(jnp.sum(r.snaps.astype(
+                jnp.float64) ** 2)))
             src = "fom"
-        np.save(qpath(mu1, mu2), q)
-        print(f"mu=({mu1}, {mu2}): q {q.shape} from {src} "
-              f"[{time.time() - t0:.1f}s]", flush=True)
+        np.savez(qpath(mu1, mu2, test=is_test), q=q,
+                 w_norm=np.float64(w_norm), mu=np.array([mu1, mu2]))
+        print(f"mu=({mu1}, {mu2}){' [test]' if is_test else ''}: "
+              f"q {q.shape} from {src} [{time.time() - t0:.1f}s]",
+              flush=True)
     print("ALL QCOORDS DONE", flush=True)
 
 

@@ -213,7 +213,8 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
 
 
 def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
-                   mu_train="single", warm_start=False):
+                   mu_train="single", warm_start=False,
+                   fit_suffix=""):
     """Manifold-closure models over one shared run_manifold stepper.
 
     n_p: primary-mode count of the 150-mode split (default 10; the
@@ -241,7 +242,7 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
     # ECSW weight artifacts additionally depend on the training
     # trajectories — keep the suffixes separate so a --mu-train spread
     # campaign reuses the existing closure fits
-    fit_sfx = "" if n_p == 10 else f"_p{n_p}"
+    fit_sfx = ("" if n_p == 10 else f"_p{n_p}") + fit_suffix
     sfx = fit_sfx
     if mu_train == "spread":
         sfx += "_spread"
@@ -288,7 +289,11 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
             closure = knn_rbf_closure(m)
             variant = "knn"
         else:
-            u_p, u_s, closure = get_global_rbf(cfg, grid, w0, n_p, n_s)
+            mp = res_path(
+                cfg, f"pod_rbf_global_model{fit_sfx}.npz") \
+                if fit_sfx else None
+            u_p, u_s, closure = get_global_rbf(cfg, grid, w0, n_p, n_s,
+                                               model_path=mp)
             variant = "global"
         weights = closure_ecsw_weights(
             cfg, grid, w0, u_p, u_s, closure,
@@ -440,6 +445,12 @@ def main():
     p.add_argument("--warm-start", action="store_true",
                    help="closure family: reference step-0 reseed "
                         "(hypernet2D.py:1100-1103) as a warm start")
+    p.add_argument("--fit-suffix", default="",
+                   help="extra closure-fit artifact suffix appended "
+                        "after the split suffix (e.g. _dense for the "
+                        "mu-densified fine fits from "
+                        "scripts/fine_closure_fit.py); also suffixes "
+                        "the npz row keys")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--redo", action="store_true")
     p.add_argument("--platform", default=None)
@@ -490,7 +501,7 @@ def main():
             key = model + ("" if a.num_modes == 95 else str(a.num_modes))
         else:
             key = model + ("" if a.num_primary == 10
-                           else f"_p{a.num_primary}")
+                           else f"_p{a.num_primary}") + a.fit_suffix
         if not a.redo and have(out, key):
             print(f"=== {key}: all points recorded, skipping ===")
             continue
@@ -506,7 +517,8 @@ def main():
             else:
                 closure_family(cfg, grid, w0, out, model, a.f32,
                                n_p=a.num_primary, mu_train=a.mu_train,
-                               warm_start=a.warm_start)
+                               warm_start=a.warm_start,
+                               fit_suffix=a.fit_suffix)
         except Exception as e:  # noqa: BLE001 — keep recording others
             import traceback
             print(f"!!! {model} FAILED: {type(e).__name__}: "
