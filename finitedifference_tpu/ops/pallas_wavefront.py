@@ -46,7 +46,7 @@ def _make_kernel(nx: int, ny: int, ny_pad: int, block: int,
     zero = np.float32(0.0)
 
     def kernel(su_ref, sv_ref, sfu_ref, sfv_ref, sdu_ref, sdv_ref,
-               prev_ref):
+               prev_ref, p_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -55,46 +55,62 @@ def _make_kernel(nx: int, ny: int, ny_pad: int, block: int,
 
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad), 1)
 
-        def shift_down(x):
-            # x[r] -> x[r-1] along lanes, zero at r=0
-            rolled = pltpu.roll(x, 1, axis=1)
-            return jnp.where(r_ids == 0, zero, rolled)
+        # ---- vectorized prologue (full VPU width, OUTSIDE the chain):
+        # the 2x2 block-inverse coefficients depend only on the streamed
+        # current-diagonal state, so compute them for the whole block at
+        # once with the anti-diagonal band mask folded in — the
+        # sequential substitution chain then pays 4 scratch-row reads
+        # instead of the ~13-op b-matrix/det/mask tail it used to carry
+        # (measured: the solve is latency- not bandwidth-bound).
+        su_b = su_ref[...]                   # (block, ny_pad)
+        sv_b = sv_ref[...]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block, ny_pad), 1)
+        dd = i * block \
+            + jax.lax.broadcasted_iota(jnp.int32, (block, ny_pad), 0)
+        vmask = jnp.logical_and(
+            rr <= dd, jnp.logical_and(dd - rr < nx, rr < ny))
+        b11 = one + kx * su_b + half * ky * sv_b
+        b12 = half * ky * su_b
+        b21 = half * kx * sv_b
+        b22 = one + ky * sv_b + half * kx * su_b
+        inv_det = one / (b11 * b22 - b12 * b21)
+        zb = jnp.zeros_like(su_b)
+        p_ref[pl.ds(0, block), :] = jnp.where(vmask, b22 * inv_det, zb)
+        p_ref[pl.ds(block, block), :] = jnp.where(vmask, b12 * inv_det,
+                                                  zb)
+        p_ref[pl.ds(2 * block, block), :] = jnp.where(
+            vmask, b21 * inv_det, zb)
+        p_ref[pl.ds(3 * block, block), :] = jnp.where(
+            vmask, b11 * inv_det, zb)
 
         def body(k, _):
-            d = i * block + k
-            valid = jnp.logical_and(r_ids <= d,
-                                    jnp.logical_and(d - r_ids < nx,
-                                                    r_ids < ny))
             u_d = su_ref[pl.ds(k, 1), :]
             v_d = sv_ref[pl.ds(k, 1), :]
             fu_d = sfu_ref[pl.ds(k, 1), :]
             fv_d = sfv_ref[pl.ds(k, 1), :]
 
-            du_p = prev_ref[0:1, :]
-            dv_p = prev_ref[1:2, :]
-            u_p = prev_ref[2:3, :]
-            v_p = prev_ref[3:4, :]
-
-            u_s = shift_down(u_p)
-            v_s = shift_down(v_p)
-            du_s = shift_down(du_p)
-            dv_s = shift_down(dv_p)
+            # one packed roll shifts all four carries along lanes
+            prev = prev_ref[...]             # (4, ny_pad)
+            shifted = jnp.where(r_ids == 0, zero,
+                                pltpu.roll(prev, 1, axis=1))
+            du_p = prev[0:1, :]
+            dv_p = prev[1:2, :]
+            u_p = prev[2:3, :]
+            v_p = prev[3:4, :]
+            du_s = shifted[0:1, :]
+            dv_s = shifted[1:2, :]
+            u_s = shifted[2:3, :]
+            v_s = shifted[3:4, :]
 
             rhs_u = fu_d + kx * u_p * du_p \
                 + half * ky * (v_s * du_s + u_s * dv_s)
             rhs_v = fv_d + half * kx * (v_p * du_p + u_p * dv_p) \
                 + ky * v_s * dv_s
 
-            b11 = one + kx * u_d + half * ky * v_d
-            b12 = half * ky * u_d
-            b21 = half * kx * v_d
-            b22 = one + ky * v_d + half * kx * u_d
-            inv_det = one / (b11 * b22 - b12 * b21)
-
-            du_d = jnp.where(valid, (b22 * rhs_u - b12 * rhs_v) * inv_det,
-                             zero)
-            dv_d = jnp.where(valid, (b11 * rhs_v - b21 * rhs_u) * inv_det,
-                             zero)
+            du_d = p_ref[pl.ds(k, 1), :] * rhs_u \
+                - p_ref[pl.ds(block + k, 1), :] * rhs_v
+            dv_d = p_ref[pl.ds(3 * block + k, 1), :] * rhs_v \
+                - p_ref[pl.ds(2 * block + k, 1), :] * rhs_u
 
             sdu_ref[pl.ds(k, 1), :] = du_d
             sdv_ref[pl.ds(k, 1), :] = dv_d
@@ -144,7 +160,8 @@ def _solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((lay.nd_pad, lay.ny_pad), f32),
                    jax.ShapeDtypeStruct((lay.nd_pad, lay.ny_pad), f32)),
-        scratch_shapes=[pltpu.VMEM((4, lay.ny_pad), f32)],
+        scratch_shapes=[pltpu.VMEM((4, lay.ny_pad), f32),
+                        pltpu.VMEM((4 * block, lay.ny_pad), f32)],
         interpret=interpret,
     )(su, sv, sfu, sfv)
 
@@ -191,7 +208,8 @@ def _solve_jacobian_wavefront_pallas(u, v, fu, fv, dt, grid: Grid2D, *,
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((nd_pad, ny_pad), f32),
                    jax.ShapeDtypeStruct((nd_pad, ny_pad), f32)),
-        scratch_shapes=[pltpu.VMEM((4, ny_pad), f32)],
+        scratch_shapes=[pltpu.VMEM((4, ny_pad), f32),
+                        pltpu.VMEM((4 * block, ny_pad), f32)],
         interpret=interpret,
     )(su, sv, sfu, sfv)
 
