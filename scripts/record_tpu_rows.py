@@ -85,15 +85,31 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
 
     basis = get_or_build_basis(cfg, grid, w0, num_modes)
 
-    if model == "prom":
+    if model in ("prom", "prom_pallas"):
         from finitedifference_tpu.rom import lspg_prom, reconstruct
         w0_d = jnp.asarray(w0, dtype)
         basis_d = jnp.asarray(basis, dtype)
+        if model == "prom_pallas":
+            # streaming full-grid Pallas GN engine (f32): one basis
+            # read per iteration (ops/pallas_gn_full.py, VERDICT r3 #2)
+            from finitedifference_tpu.rom_factored import (
+                pallas_prom,
+                precompute_prom_pallas,
+            )
+            vu_p, vv_p, dmask, _ = precompute_prom_pallas(grid, basis)
+            y0p = jnp.asarray(basis.T @ w0, jnp.float32)
         for mu in TEST_POINTS:
-            def solve():
-                r = lspg_prom(grid, w0_d, cfg.dt, cfg.num_steps,
-                              mu[0], mu[1], basis_d, **ls_kw)
-                return np.asarray(r.red_coords), r.total_gn_its
+            if model == "prom_pallas":
+                def solve():
+                    r = pallas_prom(grid, vu_p, vv_p, dmask, y0p,
+                                    float(cfg.dt), cfg.num_steps,
+                                    mu[0], mu[1], unroll_its=3)
+                    return np.asarray(r.red_coords), r.total_gn_its
+            else:
+                def solve():
+                    r = lspg_prom(grid, w0_d, cfg.dt, cfg.num_steps,
+                                  mu[0], mu[1], basis_d, **ls_kw)
+                    return np.asarray(r.red_coords), r.total_gn_its
             solve()
             t0 = time.time()
             red, its = solve()
@@ -104,7 +120,8 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
                                         cfg.num_steps,
                                         snap_folder=cfg.snap_folder)
             rel = 100 * np.linalg.norm(hdm - rom) / np.linalg.norm(hdm)
-            record(out, f"prom{ksuf}_{mu[0]}_{mu[1]}", elapsed,
+            tag = "prom_pallas" if model == "prom_pallas" else "prom"
+            record(out, f"{tag}{ksuf}_{mu[0]}_{mu[1]}", elapsed,
                    round(rel, 4))
         return
 
@@ -410,7 +427,8 @@ def closure_family(cfg, grid, w0, out, model, f32, n_p=10,
         record(out, f"{prefix}{fit_sfx}_{mu[0]}_{mu[1]}", elapsed, rel)
 
 
-LINEAR = {"fom", "prom", "hprom", "hprom_ecm", "hprom_factored",
+LINEAR = {"fom", "prom", "prom_pallas", "hprom", "hprom_ecm",
+          "hprom_factored",
           "hprom_pallas", "hprom_pallas_traj", "hprom_multilevel",
           "hprom_sequential", "hprom_tensor"}
 
