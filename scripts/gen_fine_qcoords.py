@@ -65,6 +65,12 @@ def main():
 
     import jax
 
+    # x64 ON: the w_norm bookkeeping needs f64 accumulation (an f32
+    # norm of 1.1e9 elements carries ~1e-4 relative error — the SAME
+    # order as the 150-mode projection floor it is meant to expose),
+    # and the fresh FOM runs then use the reference f64 Newton. Pallas
+    # kernels trace inside enable_x64(False) internally (CLAUDE.md).
+    jax.config.update("jax_enable_x64", True)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/fdtpu_jax_cache"))
@@ -102,7 +108,7 @@ def main():
         t0 = time.time()
         snap_fn = param_to_snap_fn([mu1, mu2], snap_folder=snap_folder)
         if os.path.exists(snap_fn):
-            w = np.load(snap_fn).astype(np.float32)   # (2n, 501)
+            w = np.load(snap_fn).astype(np.float64)   # (2n, 501)
             q = (w.T @ basis).astype(np.float32)      # host project
             w_norm = float(np.linalg.norm(w))
             src = "disk"
@@ -114,10 +120,11 @@ def main():
                 snaps_dtype=jnp.float32)
             q = np.asarray(jnp.matmul(r.snaps.T, basis_d,
                                       precision=hi))
-            # ||w||_F on device: with an orthonormal basis this plus
-            # ||q||_F gives the exact 150-mode projection error floor
-            w_norm = float(jnp.sqrt(jnp.sum(r.snaps.astype(
-                jnp.float64) ** 2)))
+            # ||w||_F on device with f64 ACCUMULATION but no f64
+            # materialization (a 9 GB astype copy OOMed the chip next
+            # to the 4.7 GB trajectory buffers)
+            w_norm = float(jnp.sqrt(jnp.sum(
+                r.snaps * r.snaps, dtype=jnp.float64)))
             src = "fom"
         np.savez(qpath(mu1, mu2, test=is_test), q=q,
                  w_norm=np.float64(w_norm), mu=np.array([mu1, mu2]))
