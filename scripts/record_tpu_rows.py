@@ -115,10 +115,13 @@ def linear_family(cfg, grid, w0, out, model, f32, num_modes=95):
             red, its = solve()
             elapsed = time.time() - t0
             print(f"GN its: {int(its)}")
-            rom = np.asarray(reconstruct(basis_d, jnp.asarray(red)))
+            # error on the HOST: a device-f64 reconstruct at 750^2 is a
+            # 9 GB fetch through the 24 MB/s dev tunnel (~6 min/point
+            # and tunnel-failure prone); hdm comes from disk anyway
             hdm = load_or_compute_snaps(list(mu), grid, w0, cfg.dt,
                                         cfg.num_steps,
                                         snap_folder=cfg.snap_folder)
+            rom = basis @ red
             rel = 100 * np.linalg.norm(hdm - rom) / np.linalg.norm(hdm)
             tag = "prom_pallas" if model == "prom_pallas" else "prom"
             record(out, f"{tag}{ksuf}_{mu[0]}_{mu[1]}", elapsed,
