@@ -160,12 +160,21 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
     if x0 is not None:
         passive = np.asarray(x0, dtype=np.float64) > tol
         if passive.any():
+            # inner fix-up, iterated to feasibility: drop seeded columns
+            # whose unconstrained coefficient is non-positive and
+            # RE-SOLVE until none remain (x=0 start, so the feasibility
+            # step reduces to dropping them outright). A single
+            # drop-and-resolve is not enough when the seeded passive set
+            # is rank-deficient/underdetermined (e.g. a dense screening
+            # seed on a wide problem): the re-solve can reintroduce
+            # negative coefficients, and returning that x violates the
+            # x >= 0 constraint (ADVICE r4). nnls_gram's warm start
+            # iterates the same loop.
             z = solve_passive()
-            # standard inner fix-up: drop seeded columns whose
-            # unconstrained coefficient is non-positive (x=0 start, so
-            # the feasibility step reduces to dropping them outright)
-            passive &= z > tol
-            x = solve_passive() if passive.any() else np.zeros(n)
+            while passive.any() and (z[passive] <= tol).any():
+                passive &= z > tol
+                z = solve_passive() if passive.any() else np.zeros(n)
+            x = z
     resid = d - C @ x
     w = C.T @ resid
 
@@ -191,7 +200,12 @@ def nnls(C, d, tol: Optional[float] = None, itmax_factor: int = 100,
                 raise RuntimeError(
                     f"NNLS iteration limit exceeded ({it} > {itmax})")
             qq = passive & (z <= tol)
-            alpha = np.min(x[qq] / (x[qq] - z[qq]))
+            denom = x[qq] - z[qq]
+            # guard x == z == 0 ties (0/0 -> NaN alpha poisons x): such
+            # a coordinate contributes alpha = 0 in exact arithmetic
+            safe = np.abs(denom) > 0
+            alpha = np.min(x[qq][safe] / denom[safe]) if safe.any() \
+                else 0.0
             x = x + alpha * (z - x)
             passive &= ~(np.abs(x) < tol)
             z = solve_passive()

@@ -462,6 +462,12 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
         : grid.ny, : grid.nx].set(slbc2d).reshape(n_pad, 1)
 
     def solve_ls(gext):
+        # gext arrives f64-reduced from the per-tile kernel partials
+        # (ops/pallas_gn_full._reduce_gram) and the whole reduced solve
+        # stays f64: the r4 engine solved the f32 normal equations
+        # (conditioning squared at f32 eps) and lost ~2x trajectory
+        # accuracy at every recorded scale (VERDICT r4 #2). Cholesky,
+        # not LU: axon has no f64 LU (CLAUDE.md).
         g, b = gext[:k, :k], -gext[:k, k]
         if ls_method == "normal":
             from jax.scipy.linalg import cho_factor, cho_solve
@@ -470,7 +476,7 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
         r = b
         p = r
         rs = jnp.vdot(r, r)
-        tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+        tiny = jnp.asarray(jnp.finfo(f32).tiny, b.dtype)
         hi = jax.lax.Precision.HIGHEST
         for _ in range(24):
             gp = jnp.matmul(g, p, precision=hi)
@@ -498,7 +504,9 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
             it > 0, jnp.abs(rn_prev - rn) / rn_prev < min_delta)
         stop = jnp.logical_or(jnp.logical_or(conv, stag), done)
         dy = solve_ls(gext)
-        y_new = jnp.where(stop, y, y + dy)
+        # update in the solve dtype, round once back to the f32 stream
+        y_new = jnp.where(stop, y,
+                          (y.astype(dy.dtype) + dy).astype(f32))
         return (y_new, it + (~stop).astype(jnp.int32), stop,
                 jnp.where(done, rn_prev, rn), init_norm, cp)
 
@@ -512,7 +520,8 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
                                          k, nxp, tile, hdx, hdy,
                                          interpret=interpret)
         init_norm = jnp.sqrt(gext0[k, k])
-        y1 = yp + solve_ls(gext0)
+        dy0 = solve_ls(gext0)
+        y1 = (yp.astype(dy0.dtype) + dy0).astype(f32)
         carry1 = (y1, jnp.int32(1), jnp.bool_(False), init_norm,
                   init_norm, cp)
         if unroll_its > 0:

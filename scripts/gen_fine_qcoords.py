@@ -9,10 +9,12 @@ the same for the FIT: run the fast device FOM at a denser mu grid and
 save ONLY the projected coordinates q = V^T w (150 x 501 per point,
 ~300 KB) — the 2.25 GB raw snapshots never cross the 24 MB/s dev tunnel.
 
-Artifacts: fine_qcoords/mu1_{m1}+mu2_{m2}.npy, one (501, 150) array per
-parameter point (row t = q at step t). Points with a cached raw
-snapshot (param_snaps_750x750/) are projected from disk on the host
-instead of re-running the FOM.
+Artifacts: fine_qcoords/mu1_{m1}+mu2_{m2}.npz (test points:
+test_mu1_{m1}+mu2_{m2}.npz), one archive per parameter point with keys
+`q` ((501, modes) f32, row t = projected coords at step t), `w_norm`
+(f64 scalar ||snaps||_F, for exact coordinate-space error scoring) and
+`mu` ((2,)). Points with a cached raw snapshot (param_snaps_750x750/)
+are projected from disk on the host instead of re-running the FOM.
 
 Role of the reference's offline training-data stage
 (POD-RBF_global_20/compute_global_weights_*.py:115-180 loads 9 cached

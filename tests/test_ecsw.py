@@ -203,6 +203,22 @@ class TestNNLS:
             x_warm_g, _, _ = nnls_gram(C, d, x0=x0)
             np.testing.assert_allclose(x_warm_g, x_cold, atol=1e-6)
 
+    def test_warm_start_dense_seed_on_wide_problem(self):
+        """A dense seed on a WIDE (underdetermined) problem must still
+        return a feasible x >= 0 (ADVICE r4: the single drop-and-resolve
+        fix-up returned min(x) = -20 here and could NaN on alpha=0/0)."""
+        from finitedifference_tpu.ecsw import nnls_gram
+        rng = np.random.default_rng(13)
+        C = rng.uniform(size=(12, 60))          # support cap >> rank(C)
+        d = C @ (np.abs(rng.normal(size=60)) * (rng.random(60) < 0.2))
+        dense_seed = rng.random(60) + 0.1       # every column seeded
+        for solver in (nnls, nnls_gram):
+            x, ssq, resid = solver(C, d, x0=dense_seed)
+            assert np.isfinite(x).all()
+            assert x.min() >= 0.0, f"{solver.__name__}: min {x.min()}"
+            # and the fit is a genuine LS fit, not a bailed-out zero
+            assert np.linalg.norm(resid) <= 1e-6 * np.linalg.norm(d)
+
     def test_warm_start_respects_early_stop(self):
         """A seed already inside rel_err_thresh returns without growing
         the support further."""

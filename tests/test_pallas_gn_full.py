@@ -132,13 +132,17 @@ def test_pallas_prom_matches_lspg(prom_problem):
                                                   tile_rows=4)
     res = pallas_prom(grid, vu_p, vv_p, wmask, jnp.asarray(y0, f32),
                       DT, steps, MU[0], MU[1], interpret=True)
-    # the lspg_prom "f32" reference still solves in f64 internally
-    # (ls_dtype default), so the true-f32 kernel drifts ~1e-5/step from
-    # pure rounding; iteration counts (the stopping-rule semantics)
-    # must agree exactly, trajectories to f32-drift scale
+    # both paths now solve the reduced system in f64 (r5: the kernel's
+    # per-tile partials reduce in f64, matching lspg_prom's ls_dtype
+    # default), so the remaining gap is pure f32 evaluation drift of
+    # the streamed residual/J V; iteration counts (the stopping-rule
+    # semantics) must agree exactly. Toy-size tolerances can't see a
+    # scale-dependent accumulation bug (VERDICT r4 #6) — that guard is
+    # the record-time coordinate-space band check in
+    # scripts/record_tpu_rows.py.
     np.testing.assert_allclose(np.asarray(res.red_coords),
                                np.asarray(ref.red_coords),
-                               rtol=1e-4, atol=1e-3)
+                               rtol=1e-4, atol=3e-4)
     assert int(res.total_gn_its) == int(ref.total_gn_its)
 
 
