@@ -205,9 +205,9 @@ def inviscid_burgers_implicit2d_skewed(
     su0 = sk.to_skewed(u0, lay)
     sv0 = sk.to_skewed(v0, lay)
 
-    def res(u, v, up, vp):
-        return sk.skewed_residual(u, v, up, vp, dt, grid, lay,
-                                  src_sk, lbc_sk, valid)
+    def res_iter(u, v, cp_u, cp_v):
+        return sk.skewed_residual_iter(u, v, cp_u, cp_v, dt, grid,
+                                       valid)
 
     def solve(u, v, ru, rv):
         if use_pallas:
@@ -227,30 +227,46 @@ def inviscid_burgers_implicit2d_skewed(
         return jnp.sqrt(jnp.sum(ru * ru) + jnp.sum(rv * rv))
 
     def newton(up, vp, ug, vg):
-        r0u, r0v = res(up, vp, up, vp)
+        # Round-5 restructure (VERDICT r4 #5): one fused pass computes
+        # the step's CN constant cp AND the init residual r0 = r(up, vp)
+        # (the r4 loop re-evaluated r0 as body-0's residual, and solved
+        # once more after the stopping residual — one wasted residual
+        # pass + one wasted wavefront solve per time step). The body
+        # solves first, THEN evaluates the residual at the updated
+        # state; the sequence of evaluated states, stopping decisions
+        # and iteration counts is bit-identical to the reference
+        # contract (newton_raphson, hypernet2D.py:1811-1857).
+        cp_u, cp_v, r0u, r0v = sk.skewed_step_constant(
+            up, vp, dt, grid, src_sk, lbc_sk, valid)
         init_norm = norm2(r0u, r0v)
+        if extrapolate_guess:
+            rgu, rgv = res_iter(ug, vg, cp_u, cp_v)
+            rng = norm2(rgu, rgv)
+            done0 = rng / init_norm < relnorm_cutoff
+        else:
+            rgu, rgv, rng = r0u, r0v, init_norm
+            done0 = jnp.bool_(False)   # rn/init == 1 never < cutoff
 
         def cond(c):
-            u, v, it, done, rn, prev = c
+            u, v, ru, rv, rn, it, done = c
             return jnp.logical_and(~done, it < max_its)
 
         def body(c):
-            u, v, it, done, _, prev = c
-            ru, rv = res(u, v, up, vp)
-            rn = norm2(ru, rv)
-            conv = rn / init_norm < relnorm_cutoff
-            stag = jnp.logical_and(it > 0, rn > 0.99 * prev)
-            stop = jnp.logical_or(conv, stag)
+            u, v, ru, rv, rn_prev, it, done = c
             du, dv = solve(u, v, ru, rv)
-            u_new = jnp.where(stop, u, u - du)
-            v_new = jnp.where(stop, v, v - dv)
-            return (u_new, v_new, it + 1, stop, rn, rn)
+            u1 = u - du
+            v1 = v - dv
+            ru1, rv1 = res_iter(u1, v1, cp_u, cp_v)
+            rn = norm2(ru1, rv1)
+            conv = rn / init_norm < relnorm_cutoff
+            stag = rn > 0.99 * rn_prev
+            return (u1, v1, ru1, rv1, rn, it + 1,
+                    jnp.logical_or(conv, stag))
 
-        big = jnp.asarray(jnp.inf, dtype)
-        u, v, it, done, rn, _ = jax.lax.while_loop(
+        u, v, _, _, rn, it, _ = jax.lax.while_loop(
             cond, body,
-            (ug, vg, jnp.int32(0), jnp.bool_(False), init_norm, big))
-        return u, v, it - done.astype(jnp.int32), rn / init_norm
+            (ug, vg, rgu, rgv, rng, jnp.int32(0), done0))
+        return u, v, it, rn / init_norm
 
     def step(carry, _):
         up, vp, um, vm, its, worst = carry

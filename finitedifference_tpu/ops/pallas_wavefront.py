@@ -125,8 +125,100 @@ def _make_kernel(nx: int, ny: int, ny_pad: int, block: int,
     return kernel
 
 
+def _make_kernel_reg(nx: int, ny: int, ny_pad: int, block: int,
+                     kx: float, ky: float, unroll: int = 4):
+    """Chain variant with the carry as a fori_loop VALUE (register
+    file), not VMEM scratch (round 5, VERDICT r4 #5).
+
+    The r4 kernel round-trips the 4-row carry through `prev_ref` VMEM
+    every diagonal: write-then-read latency sits ON the 2N-1-step
+    critical path. Here the packed (4, ny_pad) carry rides the loop
+    carry so Mosaic can keep it in vector registers, and the loop is
+    unrolled so the per-diagonal index arithmetic and the independent
+    streams (su/sfu row reads, output writes) of consecutive diagonals
+    overlap; only the inter-block handoff touches `prev_ref`.
+    """
+    import numpy as np
+
+    kx = np.float32(kx)
+    ky = np.float32(ky)
+    one = np.float32(1.0)
+    half = np.float32(0.5)
+    zero = np.float32(0.0)
+
+    def kernel(su_ref, sv_ref, sfu_ref, sfv_ref, sdu_ref, sdv_ref,
+               prev_ref, p_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            prev_ref[...] = jnp.zeros_like(prev_ref)
+
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad), 1)
+
+        # vectorized prologue (identical to the scratch variant): 2x2
+        # block-inverse coefficients for the whole block, band-masked
+        su_b = su_ref[...]
+        sv_b = sv_ref[...]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block, ny_pad), 1)
+        dd = i * block \
+            + jax.lax.broadcasted_iota(jnp.int32, (block, ny_pad), 0)
+        vmask = jnp.logical_and(
+            rr <= dd, jnp.logical_and(dd - rr < nx, rr < ny))
+        b11 = one + kx * su_b + half * ky * sv_b
+        b12 = half * ky * su_b
+        b21 = half * kx * sv_b
+        b22 = one + ky * sv_b + half * kx * su_b
+        inv_det = one / (b11 * b22 - b12 * b21)
+        zb = jnp.zeros_like(su_b)
+        p_ref[pl.ds(0, block), :] = jnp.where(vmask, b22 * inv_det, zb)
+        p_ref[pl.ds(block, block), :] = jnp.where(vmask, b12 * inv_det,
+                                                  zb)
+        p_ref[pl.ds(2 * block, block), :] = jnp.where(
+            vmask, b21 * inv_det, zb)
+        p_ref[pl.ds(3 * block, block), :] = jnp.where(
+            vmask, b11 * inv_det, zb)
+
+        def body(k, prev):
+            shifted = jnp.where(r_ids == 0, zero,
+                                pltpu.roll(prev, 1, axis=1))
+            du_p = prev[0:1, :]
+            dv_p = prev[1:2, :]
+            u_p = prev[2:3, :]
+            v_p = prev[3:4, :]
+            du_s = shifted[0:1, :]
+            dv_s = shifted[1:2, :]
+            u_s = shifted[2:3, :]
+            v_s = shifted[3:4, :]
+
+            fu_d = sfu_ref[pl.ds(k, 1), :]
+            fv_d = sfv_ref[pl.ds(k, 1), :]
+            rhs_u = fu_d + kx * u_p * du_p \
+                + half * ky * (v_s * du_s + u_s * dv_s)
+            rhs_v = fv_d + half * kx * (v_p * du_p + u_p * dv_p) \
+                + ky * v_s * dv_s
+
+            du_d = p_ref[pl.ds(k, 1), :] * rhs_u \
+                - p_ref[pl.ds(block + k, 1), :] * rhs_v
+            dv_d = p_ref[pl.ds(3 * block + k, 1), :] * rhs_v \
+                - p_ref[pl.ds(2 * block + k, 1), :] * rhs_u
+
+            sdu_ref[pl.ds(k, 1), :] = du_d
+            sdv_ref[pl.ds(k, 1), :] = dv_d
+            u_d = su_ref[pl.ds(k, 1), :]
+            v_d = sv_ref[pl.ds(k, 1), :]
+            return jnp.concatenate([du_d, dv_d, u_d, v_d], axis=0)
+
+        prev_end = jax.lax.fori_loop(np.int32(0), np.int32(block), body,
+                                     prev_ref[...], unroll=unroll)
+        prev_ref[...] = prev_end
+
+    return kernel
+
+
 def solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
-                        block: int = 128, interpret: bool = False):
+                        block: int = 128, interpret: bool = False,
+                        variant: str = "reg", unroll: int = 4):
     """Triangular solve on pre-padded skewed inputs (nd_pad, ny_pad).
 
     The fast path for ops/skewed.py: no per-call skew/pad — the kernel
@@ -135,22 +227,30 @@ def solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
     Mosaic grid/index machinery becomes i64 and fails to lower on this
     backend, so the kernel trace runs in pure-32-bit semantics (inputs
     are f32 either way).
+
+    variant="reg" (default) carries the 4-row diagonal state as an
+    unrolled fori_loop value (register-resident chain);
+    variant="scratch" is the r4 VMEM-carry kernel, kept for A/B timing.
     """
     with jax.enable_x64(False):
         return _solve_skewed_pallas(su, sv, sfu, sfv, dt, grid, lay,
-                                    block=block, interpret=interpret)
+                                    block=block, interpret=interpret,
+                                    variant=variant, unroll=unroll)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dt", "grid", "lay", "block",
-                                    "interpret"))
+                                    "interpret", "variant", "unroll"))
 def _solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
-                         block: int = 128, interpret: bool = False):
+                         block: int = 128, interpret: bool = False,
+                         variant: str = "reg", unroll: int = 4):
     f32 = jnp.float32
     su, sv, sfu, sfv = (x.astype(f32) for x in (su, sv, sfu, sfv))
-    kernel = _make_kernel(lay.nx, lay.ny, lay.ny_pad, block,
-                          float(0.5 * dt / grid.dx),
-                          float(0.5 * dt / grid.dy))
+    make = _make_kernel_reg if variant == "reg" else _make_kernel
+    kw = {"unroll": unroll} if variant == "reg" else {}
+    kernel = make(lay.nx, lay.ny, lay.ny_pad, block,
+                  float(0.5 * dt / grid.dx),
+                  float(0.5 * dt / grid.dy), **kw)
     spec = pl.BlockSpec((block, lay.ny_pad), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

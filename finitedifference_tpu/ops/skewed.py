@@ -121,6 +121,50 @@ def skewed_residual(u, v, up, vp, dt, grid: Grid2D, lay: SkewedLayout,
     return ru * valid, rv * valid
 
 
+def _half_flux(u, v, dt, grid: Grid2D):
+    """Current-state half of the CN residual: u + 0.5*dt*(ddx(0.5 u^2)
+    + ddy(0.5 u v)) and the v analogue (no mask, no constants)."""
+    half_dt = 0.5 * dt
+    fu = 0.5 * u * u
+    fv = 0.5 * v * v
+    fuv = 0.5 * u * v
+    ddx = lambda f: (f - shift_prev_diag(f)) / grid.dx
+    ddy = lambda f: (f - shift_prev_diag_row(f)) / grid.dy
+    au = u + half_dt * (ddx(fu) + ddy(fuv))
+    av = v + half_dt * (ddy(fv) + ddx(fuv))
+    return au, av
+
+
+def skewed_step_constant(up, vp, dt, grid: Grid2D, src_sk, lbc_sk,
+                         valid):
+    """Per-STEP constant of the CN residual + the residual at the
+    previous state, in one fused pass.
+
+    The residual splits as r(u, v) = half(u, v) + cp(up, vp) where the
+    cp half (previous-state fluxes, source, inflow BC) is constant
+    across a step's Newton iterations — recomputing it every iteration
+    re-reads 4 extra arrays per eval for values that cannot change
+    (round 5, VERDICT r4 #5). Returns (cp_u, cp_v, r0_u, r0_v) with cp
+    pre-masked and r0 = r(up, vp) (the Newton init_norm residual):
+    r0 = 2*half_flux(prev) - up - src - lbc on the band.
+    """
+    au, av = _half_flux(up, vp, dt, grid)
+    # -up + 0.5*dt*(prev fluxes) = (au - up) - up = au - 2*up
+    cp_u = (au - 2.0 * up - src_sk - lbc_sk) * valid
+    cp_v = (av - 2.0 * vp) * valid
+    r0_u = au * valid + cp_u
+    r0_v = av * valid + cp_v
+    return cp_u, cp_v, r0_u, r0_v
+
+
+def skewed_residual_iter(u, v, cp_u, cp_v, dt, grid: Grid2D, valid):
+    """Per-iteration CN residual from the step constant: reads
+    (u, v, cp_u, cp_v, valid) instead of skewed_residual's
+    (u, v, up, vp, src, lbc, valid). Identical values (tested)."""
+    au, av = _half_flux(u, v, dt, grid)
+    return au * valid + cp_u, av * valid + cp_v
+
+
 def solve_skewed_lax(su, sv, sfu, sfv, dt, grid: Grid2D,
                      lay: SkewedLayout, unroll: int = 8):
     """Triangular solve on padded skewed inputs via lax.scan (any dtype;

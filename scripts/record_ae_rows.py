@@ -17,6 +17,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, os.path.join(ROOT, "runners"))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)
 
 os.environ.setdefault("FDTPU_PLATFORM", "cpu")
 
@@ -40,6 +41,12 @@ def main():
         np.savez(OUT, **rows)
         print(f"[record] {key} = [{elapsed:.4g} s, {rel:.4g}%]",
               flush=True)
+        from check_claims import band_for
+        band = band_for(OUT, "ae_prom")
+        if band and not (band[0] <= rel <= band[1]):
+            print(f"!!! BAND VIOLATION {key}: {rel}% outside "
+                  f"{band}", flush=True)
+            sys.exit(1)
     print("AE ROWS DONE")
 
 

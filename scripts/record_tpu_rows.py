@@ -26,18 +26,40 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, os.path.join(ROOT, "runners"))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)
 
 os.environ["FDTPU_WARM"] = "1"
 
 TEST_POINTS = [(5.19, 0.026), (4.56, 0.019), (4.75, 0.02)]
 
+# rows recorded THIS RUN whose error falls outside the claimed family
+# band (scripts/check_claims.py CLAIMS). VERDICT r4 #7: an engine with a
+# scale-dependent accuracy bug must not land rows silently — the
+# campaign exits nonzero (failing the regen chain stage) when any row
+# it just recorded is out of band.
+VIOLATIONS = []
+
 
 def record(out, key, elapsed, err):
+    from check_claims import band_for, family_of
+
     results = dict(np.load(out, allow_pickle=True)) \
         if os.path.exists(out) else {}
     results[key] = np.array([elapsed, err])
     np.savez(out, **results)
     print(f"[record] {out}: {key} = [{elapsed:.4g} s, {err}%]", flush=True)
+    band = band_for(out, family_of(key))
+    if not np.isfinite(err) or not np.isfinite(elapsed):
+        VIOLATIONS.append((out, key, err, band))
+        print(f"!!! BAND VIOLATION {key}: non-finite row", flush=True)
+    elif band is not None and not (band[0] <= err <= band[1]):
+        VIOLATIONS.append((out, key, err, band))
+        print(f"!!! BAND VIOLATION {key}: {err}% outside claimed "
+              f"[{band[0]}, {band[1]}]%", flush=True)
+    elif band is None:
+        print(f"[record] note: no claimed band for family "
+              f"'{family_of(key)}' in {out} (add one to "
+              f"scripts/check_claims.py)", flush=True)
 
 
 def have(out, prefix):
@@ -559,6 +581,21 @@ def main():
                              [sys.executable] + sys.argv)
         print(f"=== {model} done in {time.time() - t0:.0f}s ===",
               flush=True)
+
+    # exit step (VERDICT r4 #2): every recording batch re-derives the
+    # acceptance gate and refreshes the RESULTS.md gate section, so the
+    # shipped docs can never claim PASS over archives that FAIL.
+    from check_claims import check as claims_check
+    os.chdir(ROOT)
+    gate_ok = claims_check(write_report=True)
+    print(f"[record] acceptance gate after this batch: "
+          f"{'PASS' if gate_ok else 'FAIL'}", flush=True)
+    if VIOLATIONS:
+        print(f"[record] {len(VIOLATIONS)} row(s) recorded THIS RUN "
+              f"out of band:", flush=True)
+        for out, key, err, band in VIOLATIONS:
+            print(f"  {out}:{key} = {err}% vs {band}", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

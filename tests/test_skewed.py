@@ -63,6 +63,43 @@ class TestSkewedOps:
         np.testing.assert_allclose(np.asarray(sk.from_skewed(rv, lay)),
                                    np.asarray(rv_w), atol=1e-13)
 
+    def test_step_constant_split_matches_residual(self):
+        """r(u, v) = half(u, v) + cp(up, vp) and r0 from the fused
+        constant pass equal skewed_residual exactly (the r5 Newton
+        loop's per-iteration residual path)."""
+        grid = Grid2D(nx=12, ny=10, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(5)
+        u = sk.to_skewed(jnp.asarray(
+            1 + rng.uniform(size=(grid.ny, grid.nx))), lay)
+        v = sk.to_skewed(jnp.asarray(
+            1 + rng.uniform(size=(grid.ny, grid.nx))), lay)
+        up = sk.to_skewed(jnp.asarray(
+            1 + rng.uniform(size=(grid.ny, grid.nx))), lay)
+        vp = sk.to_skewed(jnp.asarray(
+            1 + rng.uniform(size=(grid.ny, grid.nx))), lay)
+        valid = sk.valid_mask(lay, jnp.float64)
+        src_sk = sk.skewed_source(lay, grid, MU[1], DT, jnp.float64)
+        lbc_sk = sk.skewed_inflow_bc(lay, grid, MU[0], DT, jnp.float64)
+
+        cp_u, cp_v, r0u, r0v = sk.skewed_step_constant(
+            up, vp, DT, grid, src_sk, lbc_sk, valid)
+        ru, rv = sk.skewed_residual_iter(u, v, cp_u, cp_v, DT, grid,
+                                         valid)
+        ru_ref, rv_ref = sk.skewed_residual(u, v, up, vp, DT, grid,
+                                            lay, src_sk, lbc_sk, valid)
+        np.testing.assert_allclose(np.asarray(ru), np.asarray(ru_ref),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(rv_ref),
+                                   atol=1e-13)
+        r0u_ref, r0v_ref = sk.skewed_residual(up, vp, up, vp, DT, grid,
+                                              lay, src_sk, lbc_sk,
+                                              valid)
+        np.testing.assert_allclose(np.asarray(r0u),
+                                   np.asarray(r0u_ref), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(r0v),
+                                   np.asarray(r0v_ref), atol=1e-13)
+
     def test_solve_skewed_lax_matches_wavefront(self):
         grid = Grid2D(nx=11, ny=7, x_up=100.0, y_up=100.0)
         lay = sk.make_layout(grid, block=8)
