@@ -126,7 +126,7 @@ def _make_kernel(nx: int, ny: int, ny_pad: int, block: int,
 
 
 def _make_kernel_reg(nx: int, ny: int, ny_pad: int, block: int,
-                     kx: float, ky: float, unroll: int = 4):
+                     kx: float, ky: float, unroll: int = 8):
     """Chain variant with the carry as a fori_loop VALUE (register
     file), not VMEM scratch (round 5, VERDICT r4 #5).
 
@@ -179,7 +179,8 @@ def _make_kernel_reg(nx: int, ny: int, ny_pad: int, block: int,
         p_ref[pl.ds(3 * block, block), :] = jnp.where(
             vmask, b11 * inv_det, zb)
 
-        def body(k, prev):
+        def advance(k, prev):
+            """Advance one diagonal; k may be traced or a base+offset."""
             shifted = jnp.where(r_ids == 0, zero,
                                 pltpu.roll(prev, 1, axis=1))
             du_p = prev[0:1, :]
@@ -209,8 +210,26 @@ def _make_kernel_reg(nx: int, ny: int, ny_pad: int, block: int,
             v_d = sv_ref[pl.ds(k, 1), :]
             return jnp.concatenate([du_d, dv_d, u_d, v_d], axis=0)
 
-        prev_end = jax.lax.fori_loop(np.int32(0), np.int32(block), body,
-                                     prev_ref[...], unroll=unroll)
+        if unroll <= 1:
+            prev_end = jax.lax.fori_loop(np.int32(0), np.int32(block),
+                                         advance, prev_ref[...])
+        else:
+            # manual unroll (Pallas TPU fori_loop only supports
+            # unroll=1 or full): each fori iteration advances `unroll`
+            # diagonals, so the per-iteration index arithmetic and the
+            # independent row loads/stores of consecutive diagonals can
+            # overlap the sequential carry chain
+            assert block % unroll == 0
+
+            def body(j, prev):
+                base = j * np.int32(unroll)
+                for t in range(unroll):
+                    prev = advance(base + np.int32(t), prev)
+                return prev
+
+            prev_end = jax.lax.fori_loop(
+                np.int32(0), np.int32(block // unroll), body,
+                prev_ref[...])
         prev_ref[...] = prev_end
 
     return kernel
@@ -218,7 +237,7 @@ def _make_kernel_reg(nx: int, ny: int, ny_pad: int, block: int,
 
 def solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
                         block: int = 128, interpret: bool = False,
-                        variant: str = "reg", unroll: int = 4):
+                        variant: str = "reg", unroll: int = 8):
     """Triangular solve on pre-padded skewed inputs (nd_pad, ny_pad).
 
     The fast path for ops/skewed.py: no per-call skew/pad — the kernel
@@ -243,7 +262,7 @@ def solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
                                     "interpret", "variant", "unroll"))
 def _solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
                          block: int = 128, interpret: bool = False,
-                         variant: str = "reg", unroll: int = 4):
+                         variant: str = "reg", unroll: int = 8):
     f32 = jnp.float32
     su, sv, sfu, sfv = (x.astype(f32) for x in (su, sv, sfu, sfv))
     make = _make_kernel_reg if variant == "reg" else _make_kernel

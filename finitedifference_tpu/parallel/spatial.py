@@ -227,16 +227,18 @@ def sharded_skewed_fom(mesh: Mesh, grid: Grid2D, w0, dt, num_steps,
         return jnp.concatenate([halo, x[..., :-1]], axis=-1)
 
     def local_traj(su, sv, src, lbc, vmask):
-        def res(u, v, up, vp):
-            fu = 0.5 * (u * u + up * up)
-            fv = 0.5 * (v * v + vp * vp)
-            fuv = 0.5 * (u * v + up * vp)
+        def res_half(u, v):
+            """Current-state half of the CN residual (r5 split, mirrors
+            ops/skewed.py::_half_flux with sharded-row halos)."""
+            fu = 0.5 * u * u
+            fv = 0.5 * v * v
+            fuv = 0.5 * u * v
             ddx = lambda f: (f - sk.shift_prev_diag(f)) / grid.dx
             ddy = lambda f: \
                 (f - shift_r(sk.shift_prev_diag(f))) / grid.dy
-            ru = u - up + half_dt * (ddx(fu) + ddy(fuv)) - src - lbc
-            rv = v - vp + half_dt * (ddy(fv) + ddx(fuv))
-            return ru * vmask, rv * vmask
+            au = u + half_dt * (ddx(fu) + ddy(fuv))
+            av = v + half_dt * (ddy(fv) + ddx(fuv))
+            return au, av
 
         def solve(u, v, ru, rv):
             """Exact wavefront substitution, r-axis sharded: scan over
@@ -275,31 +277,43 @@ def sharded_skewed_fom(mesh: Mesh, grid: Grid2D, w0, dt, num_steps,
             return jnp.sqrt(jax.lax.psum(ss, axis_name))
 
         def newton(up, vp):
-            r0u, r0v = res(up, vp, up, vp)
+            # r5 restructure, mirroring the single-chip engine
+            # (fom.inviscid_burgers_implicit2d_skewed): one fused pass
+            # yields the step constant cp AND the init residual; the
+            # body solves first and evaluates the residual at the
+            # updated state. Same evaluated states, same stopping
+            # decisions, identical iteration counts (tested vs the
+            # single-chip engine in test_parallel.py).
+            au, av = res_half(up, vp)
+            cp_u = (au - 2.0 * up - src - lbc) * vmask
+            cp_v = (av - 2.0 * vp) * vmask
+            r0u = au * vmask + cp_u
+            r0v = av * vmask + cp_v
             init_norm = norm2(r0u, r0v)
 
             def cond(c):
-                _, _, it, done, _, _ = c
+                _, _, _, _, _, it, done = c
                 return jnp.logical_and(~done, it < max_its)
 
             def body(c):
-                u, v, it, done, _, prev = c
-                ru, rv = res(u, v, up, vp)
-                rn = norm2(ru, rv)
-                conv = rn / init_norm < relnorm_cutoff
-                stag = jnp.logical_and(it > 0, rn > 0.99 * prev)
-                stop = jnp.logical_or(conv, stag)
+                u, v, ru, rv, rn_prev, it, done = c
                 du, dv = solve(u, v, ru, rv)
-                u_new = jnp.where(stop, u, u - du)
-                v_new = jnp.where(stop, v, v - dv)
-                return (u_new, v_new, it + 1, stop, rn, rn)
+                u1 = u - du
+                v1 = v - dv
+                au, av = res_half(u1, v1)
+                ru1 = au * vmask + cp_u
+                rv1 = av * vmask + cp_v
+                rn = norm2(ru1, rv1)
+                conv = rn / init_norm < relnorm_cutoff
+                stag = rn > 0.99 * rn_prev
+                return (u1, v1, ru1, rv1, rn, it + 1,
+                        jnp.logical_or(conv, stag))
 
             done0 = jnp.isnan(init_norm)      # False, axes-consistent
-            big = jnp.full_like(init_norm, jnp.inf)
-            u, v, it, done, _, _ = jax.lax.while_loop(
+            u, v, _, _, _, it, _ = jax.lax.while_loop(
                 cond, body,
-                (up, vp, jnp.int32(0), done0, init_norm, big))
-            return u, v, it - done.astype(jnp.int32)
+                (up, vp, r0u, r0v, init_norm, jnp.int32(0), done0))
+            return u, v, it
 
         def step(carry, _):
             up, vp, its = carry

@@ -91,11 +91,12 @@ CLAIMS = {
         # starvation at this split).
         "pod_rbf_hprom": (1.5, 30.0),
         "pod_gp_hprom_pm": (1.5, 30.0),
-        # 20-primary campaign on the densified 25-trajectory fit
-        # (VERDICT r4 #3/#4): offline floor 1.63-1.73%, target at or
+        # 20-primary campaign on the mu-densified 25-trajectory fits
+        # (VERDICT r4 #3/#4; record_tpu_rows --num-primary 20
+        # --fit-suffix _dense): offline floor 1.63-1.73%, target at or
         # better than the linear 150-mode row.
-        "pod_rbf_hprom_p20": (1.5, 2.6),
-        "pod_gp_hprom_pm_p20": (1.5, 3.0),
+        "pod_rbf_hprom_p20_dense": (1.5, 2.6),
+        "pod_gp_hprom_pm_p20_dense": (1.5, 3.0),
     },
 }
 
