@@ -411,13 +411,14 @@ def precompute_prom_pallas(grid: Grid2D, basis, tile_rows=None):
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "dt", "num_steps", "max_its", "unroll_its",
-                     "ls_method", "interpret"),
+                     "ls_method", "interpret", "tile_rows", "ls_dtype"),
 )
 def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
                 mu1, mu2, *, max_its: int = 20,
                 relnorm_cutoff: float = 1e-5, min_delta: float = 0.1,
                 unroll_its: int = 0, ls_method: str = "normal",
-                interpret: bool = False) -> ROMResult:
+                interpret: bool = False,
+                tile_rows: int = 4, ls_dtype=None) -> ROMResult:
     """FULL-GRID LSPG PROM with the streaming Pallas Gauss-Newton
     system (ops/pallas_gn_full.py) — the fast engine for the unsampled
     path (VERDICT r3 #2).
@@ -451,8 +452,11 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
     k = y0.shape[0]
     n_pad = vu_p.shape[0]
     nxp = _round_up(grid.nx + 1, 8)      # dead-cell row layout
-    tile = dmask.shape[0]
     ny_pad = n_pad // nxp
+    # dmask is full-length (n_pad, 1) since r5 (dead-ROW masking), so
+    # the processing tile comes from the layout's tile_rows
+    tile = tile_rows * nxp
+    sdt = jnp.float32 if ls_dtype is None else ls_dtype
     hdx = float(0.5 * dt / grid.dx)
     hdy = float(0.5 * dt / grid.dy)
 
@@ -462,12 +466,13 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
         : grid.ny, : grid.nx].set(slbc2d).reshape(n_pad, 1)
 
     def solve_ls(gext):
-        # gext arrives f64-reduced from the per-tile kernel partials
-        # (ops/pallas_gn_full._reduce_gram) and the whole reduced solve
-        # stays f64: the r4 engine solved the f32 normal equations
-        # (conditioning squared at f32 eps) and lost ~2x trajectory
-        # accuracy at every recorded scale (VERDICT r4 #2). Cholesky,
-        # not LU: axon has no f64 LU (CLAUDE.md).
+        # The r4 accuracy loss (VERDICT r4 #2) was root-caused to
+        # unmasked dead-row flux in the Gram (ops/pallas_gn_full.py
+        # row_mask, scripts/probe_pallas_gram.py), NOT precision: the
+        # system is near-perfectly conditioned (cond(G) ~ 1.5 at the
+        # shock), so the default f32 reduced solve is accurate and
+        # ~15x cheaper than emulated f64 on this backend. ls_dtype=f64
+        # remains available. Cholesky, not LU: axon has no f64 LU.
         g, b = gext[:k, :k], -gext[:k, k]
         if ls_method == "normal":
             from jax.scipy.linalg import cho_factor, cho_solve
@@ -497,7 +502,7 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
         y, it, done, rn_prev, init_norm, cp = carry
         gext = gn_full_system_pallas(vu_p, vv_p, y, cp, dmask, k,
                                      nxp, tile, hdx, hdy,
-                                     interpret=interpret)
+                                     interpret=interpret).astype(sdt)
         rn = jnp.sqrt(gext[k, k])
         conv = rn / init_norm < relnorm_cutoff
         stag = jnp.logical_and(
@@ -519,6 +524,7 @@ def pallas_prom(grid: Grid2D, vu_p, vv_p, dmask, y0, dt, num_steps,
         gext0, cp = gn_full_first_pallas(vu_p, vv_p, yp, slbc, dmask,
                                          k, nxp, tile, hdx, hdy,
                                          interpret=interpret)
+        gext0 = gext0.astype(sdt)
         init_norm = jnp.sqrt(gext0[k, k])
         dy0 = solve_ls(gext0)
         y1 = (yp.astype(dy0.dtype) + dy0).astype(f32)

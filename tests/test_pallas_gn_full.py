@@ -77,6 +77,12 @@ def test_gn_full_system_matches_stencil_ops(prom_problem):
     ref0[: k + 1, : k + 1] = np.asarray(a0.T @ a0)
     np.testing.assert_allclose(np.asarray(gext0), ref0,
                                rtol=2e-4, atol=3e-4)
+    # the ||r||^2 corner RELATIVELY (no atol): spurious dead-row flux
+    # (the r4 accuracy bug — unmasked bottom pad rows with a real south
+    # neighbor) inflates it by an absolute term the matrix-wide atol
+    # above cannot see at toy scale
+    np.testing.assert_allclose(float(gext0[k, k]), float(ref0[k, k]),
+                               rtol=1e-4)
 
     # subsequent kernel at y with that cp == system at y
     gext = gn_full_system_pallas(vu_p, vv_p, y, cp, dmask, k, nxp,
@@ -186,6 +192,11 @@ def test_pad_basis_tile_rows():
         assert vu_p.shape[0] == ny_pad * nxp
         assert vu_p.shape[0] % tile == 0
         m = np.asarray(row_mask(grid, tr))
-        assert m.shape == (tile, 1)
-        assert m.reshape(-1, nxp)[:, :nx].all()
-        assert not m.reshape(-1, nxp)[:, nx:].any()
+        assert m.shape == (vu_p.shape[0], 1)
+        m2 = m.reshape(ny_pad, nxp)
+        assert m2[:ny, :nx].all()
+        assert not m2[:, nx:].any()
+        # r5: the dead BOTTOM rows must mask too (their south neighbor
+        # is the real last grid row — unmasked they leak flux into the
+        # Gram, the r4 accuracy bug)
+        assert not m2[ny:, :].any()
