@@ -80,7 +80,7 @@ def main():
 
     n = int(os.environ.get("BENCH_CELLS", "750"))
     warm_steps = int(os.environ.get("BENCH_WARM_STEPS", "5"))
-    meas_steps = int(os.environ.get("BENCH_MEAS_STEPS", "100"))
+    meas_steps = int(os.environ.get("BENCH_MEAS_STEPS", "500"))
     skip_roms = os.environ.get("BENCH_SKIP_ROMS", "") == "1"
     dt = 0.05
 

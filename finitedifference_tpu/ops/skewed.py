@@ -61,6 +61,19 @@ def valid_mask(lay: SkewedLayout, dtype=jnp.float32) -> jnp.ndarray:
     return ok.astype(dtype)
 
 
+def valid_mask_expr(lay: SkewedLayout, dtype):
+    """Band mask as an IOTA expression (not a materialized operand).
+
+    Inside a jitted residual XLA fuses the iota+compares into the
+    elementwise kernel, so masking costs zero HBM traffic — the
+    materialized `valid_mask` array is ~9.4 MB of pure mask reads per
+    750^2 f64 residual eval (round-5 FOM tuning)."""
+    d = jax.lax.broadcasted_iota(jnp.int32, (lay.nd_pad, lay.ny_pad), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (lay.nd_pad, lay.ny_pad), 1)
+    ok = (r < lay.ny) & (d - r >= 0) & (d - r < lay.nx)
+    return ok.astype(dtype)
+
+
 def to_skewed(x, lay: SkewedLayout) -> jnp.ndarray:
     """(ny, nx) -> padded (nd_pad, ny_pad)."""
     s = skew(x, lay.ny, lay.nx)
