@@ -157,14 +157,15 @@ def inviscid_burgers_implicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2,
     jax.jit,
     static_argnames=("dt", "grid", "num_steps", "max_its", "use_pallas",
                      "solve_dtype", "snaps_dtype", "block",
-                     "extrapolate_guess"),
+                     "extrapolate_guess", "seg", "seg_overlap"),
 )
 def inviscid_burgers_implicit2d_skewed(
         grid: Grid2D, w0, dt, num_steps, mu1, mu2, *,
         max_its: int = 100, relnorm_cutoff: float | None = None,
         use_pallas: bool | None = None, solve_dtype=None,
         snaps_dtype=None, block: int = 128,
-        extrapolate_guess: bool = False) -> FOMResult:
+        extrapolate_guess: bool = False, seg: int = 0,
+        seg_overlap: int = 64) -> FOMResult:
     """Fast implicit FOM: the whole integration in skewed coordinates.
 
     The triangular solve consumes the state directly (no per-iteration
@@ -212,7 +213,19 @@ def inviscid_burgers_implicit2d_skewed(
                                        valid)
 
     def solve(u, v, ru, rv):
-        if use_pallas:
+        if use_pallas and seg > 0:
+            # overlapping-segment chain: ~(seg_len+overlap)/(2N-1) of
+            # the exact substitution's sequential latency with
+            # full-sublane slabs; truncation ~rho^overlap, below the
+            # f32 kernel's own roundoff at the default overlap — the
+            # f64 Newton absorbs it like any inexact solve
+            from finitedifference_tpu.ops.pallas_wavefront import (
+                solve_skewed_pallas_seg,
+            )
+            du, dv = solve_skewed_pallas_seg(u, v, ru, rv, dt, grid,
+                                             lay, n_seg=seg,
+                                             overlap=seg_overlap)
+        elif use_pallas:
             # the Pallas kernel is f32 by construction (Mosaic has no
             # f64); solve_dtype only selects the precision of the lax
             # fallback path

@@ -235,6 +235,203 @@ def _make_kernel_reg(nx: int, ny: int, ny_pad: int, block: int,
     return kernel
 
 
+def _make_kernel_seg(nx: int, ny: int, ny_pad: int, n_seg: int,
+                     seg_len: int, overlap: int, block_j: int,
+                     kx: float, ky: float, unroll: int = 4):
+    """Overlapping-SEGMENT wavefront chain (round 5, VERDICT r4 #5).
+
+    The exact substitution is a 2N-1-long sequential chain whose
+    per-diagonal work is a (1, ny_pad) vector op — 1/8 sublane
+    utilization and pure latency. But the diagonal-to-diagonal coupling
+    T_d = -B_d^{-1} L_d is contractive (spectral radius ~
+    CFL/(1+CFL) < 1, see ops/wavefront.solve_jacobian_sweeps), so the
+    influence of a diagonal decays geometrically: splitting the chain
+    into `n_seg` segments of `seg_len` diagonals, each extended
+    BACKWARD by `overlap` warm-up diagonals started from zero, makes
+    every segment independent — one batched chain of seg_len+overlap
+    steps whose per-step slab is (n_seg, ny_pad), full sublanes. The
+    truncation error is ~rho^overlap (~1e-11 at overlap=64 for this
+    problem's CFL; segment 0 is exact) — below f32 roundoff, and the
+    solve feeds an inexact-Newton that absorbs it anyway.
+
+    Inputs are (J_pad, n_seg, ny_pad) in segment layout
+    (pack_segments): S2[j, g, r] = S[g*seg_len + j - overlap, r].
+    """
+    import numpy as np
+
+    kx = np.float32(kx)
+    ky = np.float32(ky)
+    one = np.float32(1.0)
+    half = np.float32(0.5)
+    zero = np.float32(0.0)
+    S = n_seg
+
+    def kernel(su_ref, sv_ref, sfu_ref, sfv_ref, sdu_ref, sdv_ref,
+               prev_ref, p_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            prev_ref[...] = jnp.zeros_like(prev_ref)
+
+        r1 = jax.lax.broadcasted_iota(jnp.int32, (S, ny_pad), 1)
+
+        # prologue: 2x2 block-inverse coefficients for the whole block,
+        # masked to each segment's valid band at its global diagonal
+        su_b = su_ref[...]                   # (block_j, S, ny_pad)
+        sv_b = sv_ref[...]
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block_j, S, ny_pad), 0)
+        gg = jax.lax.broadcasted_iota(jnp.int32, (block_j, S, ny_pad), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block_j, S, ny_pad), 2)
+        dd = gg * seg_len + (i * block_j + jj) - overlap
+        vmask = jnp.logical_and(
+            jnp.logical_and(dd >= 0, rr <= dd),
+            jnp.logical_and(dd - rr < nx, rr < ny))
+        b11 = one + kx * su_b + half * ky * sv_b
+        b12 = half * ky * su_b
+        b21 = half * kx * sv_b
+        b22 = one + ky * sv_b + half * kx * su_b
+        inv_det = one / (b11 * b22 - b12 * b21)
+        zb = jnp.zeros_like(su_b)
+        p_ref[pl.ds(0, block_j)] = jnp.where(vmask, b22 * inv_det, zb)
+        p_ref[pl.ds(block_j, block_j)] = jnp.where(vmask, b12 * inv_det,
+                                                   zb)
+        p_ref[pl.ds(2 * block_j, block_j)] = jnp.where(
+            vmask, b21 * inv_det, zb)
+        p_ref[pl.ds(3 * block_j, block_j)] = jnp.where(
+            vmask, b11 * inv_det, zb)
+
+        def advance(j, prev):
+            # prev: (4*S, ny_pad) packed [du, dv, u, v] x segments
+            shifted = jnp.where(r1[0:1, :] == 0, zero,
+                                pltpu.roll(prev, 1, axis=1))
+            du_p = prev[0 * S: 1 * S]
+            dv_p = prev[1 * S: 2 * S]
+            u_p = prev[2 * S: 3 * S]
+            v_p = prev[3 * S: 4 * S]
+            du_s = shifted[0 * S: 1 * S]
+            dv_s = shifted[1 * S: 2 * S]
+            u_s = shifted[2 * S: 3 * S]
+            v_s = shifted[3 * S: 4 * S]
+
+            fu_d = sfu_ref[j]                # (S, ny_pad)
+            fv_d = sfv_ref[j]
+            rhs_u = fu_d + kx * u_p * du_p \
+                + half * ky * (v_s * du_s + u_s * dv_s)
+            rhs_v = fv_d + half * kx * (v_p * du_p + u_p * dv_p) \
+                + ky * v_s * dv_s
+
+            du_d = p_ref[j] * rhs_u - p_ref[block_j + j] * rhs_v
+            dv_d = p_ref[3 * block_j + j] * rhs_v \
+                - p_ref[2 * block_j + j] * rhs_u
+
+            sdu_ref[j] = du_d
+            sdv_ref[j] = dv_d
+            return jnp.concatenate(
+                [du_d, dv_d, su_ref[j], sv_ref[j]], axis=0)
+
+        if unroll <= 1:
+            prev_end = jax.lax.fori_loop(np.int32(0), np.int32(block_j),
+                                         advance, prev_ref[...])
+        else:
+            assert block_j % unroll == 0
+
+            def body(b, prev):
+                base = b * np.int32(unroll)
+                for t in range(unroll):
+                    prev = advance(base + np.int32(t), prev)
+                return prev
+
+            prev_end = jax.lax.fori_loop(
+                np.int32(0), np.int32(block_j // unroll), body,
+                prev_ref[...])
+        prev_ref[...] = prev_end
+
+    return kernel
+
+
+def segment_geometry(lay, n_seg: int, overlap: int, block_j: int = 8):
+    """(seg_len, j_pad) for the overlapping-segment chain layout."""
+    seg_len = -(-lay.nd_pad // n_seg)
+    j_pad = _round_up(seg_len + overlap, block_j)
+    return seg_len, j_pad
+
+
+def pack_segments(s, lay, n_seg: int, overlap: int, block_j: int = 8):
+    """(nd_pad, ny_pad) -> (j_pad, n_seg, ny_pad) overlapping segments:
+    out[j, g, :] = s[g*seg_len + j - overlap, :] (zero off-range)."""
+    seg_len, j_pad = segment_geometry(lay, n_seg, overlap, block_j)
+    pad_lo = overlap
+    pad_hi = j_pad - overlap + (n_seg - 1) * seg_len \
+        + seg_len - s.shape[0]
+    sp = jnp.pad(s, ((pad_lo, max(pad_hi, 0)), (0, 0)))
+    starts = [g * seg_len for g in range(n_seg)]
+    segs = [jax.lax.dynamic_slice_in_dim(sp, st, j_pad, axis=0)
+            for st in starts]
+    return jnp.stack(segs, axis=1)          # (j_pad, n_seg, ny_pad)
+
+
+def unpack_segments(s2, lay, n_seg: int, overlap: int,
+                    block_j: int = 8):
+    """Inverse of pack_segments, overlap rows discarded."""
+    seg_len, _ = segment_geometry(lay, n_seg, overlap, block_j)
+    body = s2[overlap: overlap + seg_len]    # (seg_len, n_seg, ny_pad)
+    flat = jnp.transpose(body, (1, 0, 2)).reshape(
+        n_seg * seg_len, s2.shape[2])
+    return flat[: lay.nd_pad]
+
+
+def solve_skewed_pallas_seg(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
+                            n_seg: int = 8, overlap: int = 64,
+                            block_j: int = 8, unroll: int = 4,
+                            interpret: bool = False):
+    """Overlapping-segment triangular solve on padded skewed inputs.
+
+    ~(seg_len+overlap)/(2N-1) of the exact chain's sequential latency
+    with full-sublane (n_seg, ny_pad) slabs per step; truncation error
+    ~rho^overlap (see _make_kernel_seg). f32 in, f32 out."""
+    with jax.enable_x64(False):
+        return _solve_skewed_pallas_seg(
+            su, sv, sfu, sfv, dt, grid, lay, n_seg=n_seg,
+            overlap=overlap, block_j=block_j, unroll=unroll,
+            interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dt", "grid", "lay", "n_seg",
+                                    "overlap", "block_j", "unroll",
+                                    "interpret"))
+def _solve_skewed_pallas_seg(su, sv, sfu, sfv, dt, grid: Grid2D, lay,
+                             *, n_seg, overlap, block_j, unroll,
+                             interpret):
+    f32 = jnp.float32
+    seg_len, j_pad = segment_geometry(lay, n_seg, overlap, block_j)
+    packed = [pack_segments(x.astype(f32), lay, n_seg, overlap, block_j)
+              for x in (su, sv, sfu, sfv)]
+    kernel = _make_kernel_seg(lay.nx, lay.ny, lay.ny_pad, n_seg,
+                              seg_len, overlap, block_j,
+                              float(0.5 * dt / grid.dx),
+                              float(0.5 * dt / grid.dy), unroll=unroll)
+    spec = pl.BlockSpec((block_j, n_seg, lay.ny_pad),
+                        lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((j_pad, n_seg, lay.ny_pad), f32)
+    sdu2, sdv2 = pl.pallas_call(
+        kernel,
+        grid=(j_pad // block_j,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((4 * n_seg, lay.ny_pad), f32),
+            pltpu.VMEM((4 * block_j, n_seg, lay.ny_pad), f32),
+        ],
+        interpret=interpret,
+    )(*packed)
+    sdu = unpack_segments(sdu2, lay, n_seg, overlap, block_j)
+    sdv = unpack_segments(sdv2, lay, n_seg, overlap, block_j)
+    return sdu, sdv
+
+
 def solve_skewed_pallas(su, sv, sfu, sfv, dt, grid: Grid2D, lay, *,
                         block: int = 128, interpret: bool = False,
                         variant: str = "reg", unroll: int = 8):

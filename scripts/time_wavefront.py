@@ -85,20 +85,49 @@ def main():
             return c + du[7, 7] + dv[3, 3]
         return fn
 
-    for label, kw in [
-        ("scratch (r4)", dict(variant="scratch")),
-        ("reg unroll=1", dict(variant="reg", unroll=1)),
-        ("reg unroll=2", dict(variant="reg", unroll=2)),
-        ("reg unroll=4", dict(variant="reg", unroll=4)),
-        ("reg unroll=8", dict(variant="reg", unroll=8)),
+    from finitedifference_tpu.ops.pallas_wavefront import (
+        solve_skewed_pallas_seg,
+    )
+
+    def make_seg_solver(**kw):
+        def fn(su, sv, sfu, sfv, c):
+            du, dv = solve_skewed_pallas_seg(su, sv, sfu + c, sfv,
+                                             0.05, grid, lay, **kw)
+            return c + du[7, 7] + dv[3, 3]
+        return fn
+
+    for label, mk, kw in [
+        ("scratch (r4)", make_solver, dict(variant="scratch")),
+        ("reg unroll=8", make_solver, dict(variant="reg", unroll=8)),
+        ("seg8/ov64", make_seg_solver, dict(n_seg=8, overlap=64)),
+        ("seg8/ov96", make_seg_solver, dict(n_seg=8, overlap=96)),
+        ("seg16/ov64", make_seg_solver, dict(n_seg=16, overlap=64)),
+        ("seg8/ov64/u8", make_seg_solver,
+         dict(n_seg=8, overlap=64, unroll=8)),
     ]:
         try:
-            us = timed_loop(make_solver(**kw), a.inner, a.reps,
+            us = timed_loop(mk(**kw), a.inner, a.reps,
                             su, sv, sfu, sfv) * 1e6
             print(f"solve {label:14s}: {us:8.1f} us", flush=True)
         except Exception as e:
             print(f"solve {label:14s}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
+
+    # accuracy of the segmented solve vs the exact chain at 750^2
+    try:
+        du0, dv0 = solve_skewed_pallas(su, sv, sfu, sfv, 0.05, grid,
+                                       lay, variant="scratch")
+        for nsg, ov in [(8, 48), (8, 64), (8, 96), (16, 64)]:
+            du1, dv1 = solve_skewed_pallas_seg(
+                su, sv, sfu, sfv, 0.05, grid, lay, n_seg=nsg,
+                overlap=ov)
+            err = float(jnp.max(jnp.abs(du1 - du0))
+                        + jnp.max(jnp.abs(dv1 - dv0)))
+            sc = float(jnp.max(jnp.abs(du0)))
+            print(f"seg{nsg}/ov{ov} max abs err vs exact: {err:.3e} "
+                  f"(scale {sc:.3f})", flush=True)
+    except Exception as e:
+        print(f"seg accuracy check FAILED: {str(e)[:200]}", flush=True)
 
     # ---- residual forms (f64, the Newton dtype) ------------------------
     f64 = jnp.float64
@@ -136,21 +165,24 @@ def main():
 
         w0 = jnp.ones(grid.state_dim, f64)
 
-        def run():
+        def run(**kw):
             r = inviscid_burgers_implicit2d_skewed(
-                grid, w0, 0.05, 500, 4.75, 0.02, snaps_dtype=f32)
+                grid, w0, 0.05, 500, 4.75, 0.02, snaps_dtype=f32, **kw)
             return float(jnp.sum(r.snaps[::137, ::31])), \
                 int(r.total_newton_its)
 
-        run()
-        ts = []
-        for _ in range(a.reps):
-            t0 = time.time()
-            _, its = run()
-            ts.append(time.time() - t0)
-        el = float(np.median(ts))
-        print(f"FOM 500 steps: {el:.3f} s = {500 / el:.1f} steps/s "
-              f"({its} Newton its)", flush=True)
+        for label, kw in [("exact chain", {}),
+                          ("seg8/ov64", dict(seg=8, seg_overlap=64))]:
+            chk, _ = run(**kw)
+            ts = []
+            for _ in range(a.reps):
+                t0 = time.time()
+                _, its = run(**kw)
+                ts.append(time.time() - t0)
+            el = float(np.median(ts))
+            print(f"FOM 500 steps [{label}]: {el:.3f} s = "
+                  f"{500 / el:.1f} steps/s ({its} Newton its, "
+                  f"checksum {chk:.9e})", flush=True)
 
 
 if __name__ == "__main__":
