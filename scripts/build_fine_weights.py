@@ -101,10 +101,14 @@ def main():
         return
 
     w0 = np.ones(grid.state_dim)
-    # build-or-load; rebuilds the rSVD when the stored basis has fewer
-    # modes than requested (the 150-mode fine campaign)
+    # always build/load the CANONICAL 150-mode fine basis and slice
+    # (build_coarse_weights.py rationale): requesting 95 then 150 used
+    # to rebuild the rSVD at a different sketch width and overwrite the
+    # file, leaving the 95-mode weights trained against slightly
+    # different leading columns than later campaigns load (r5)
     from common import get_or_build_basis
-    basis = get_or_build_basis(cfg, grid, w0, a.num_modes)
+    basis = get_or_build_basis(cfg, grid, w0,
+                               max(150, a.num_modes))[:, : a.num_modes]
     # the reference's single training trajectory + 3-step snapshot
     # pairing (run_HPROM_ecsw_joshua.py:55-66); 'spread' divides the
     # same row budget over three training-grid trajectories
