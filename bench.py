@@ -165,6 +165,54 @@ def main():
         _stderr(f"bench: predictor config skipped ({type(e).__name__}: "
                 f"{str(e)[:200]})")
 
+    # overlapping-segment wavefront solve (r5): n_seg chains of
+    # seg_len+overlap diagonals as full-sublane slabs — ~6x shorter
+    # sequential critical path, truncation ~rho^overlap (below f32
+    # roundoff at overlap=64). Guarded: the headline stays on the exact
+    # chain; trajectory agreement vs the exact-chain run is recorded.
+    try:
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def _run_seg(mu1, steps):
+            r = inviscid_burgers_implicit2d_skewed(
+                grid, w0, dt, steps, mu1, 0.02,
+                snaps_dtype=jnp.float32, seg=8, seg_overlap=64)
+            return jnp.sum(r.snaps), r.total_newton_its, \
+                r.snaps[:, -1]
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def _run_exact_final(mu1, steps):
+            r = inviscid_burgers_implicit2d_skewed(
+                grid, w0, dt, steps, mu1, 0.02,
+                snaps_dtype=jnp.float32)
+            return r.snaps[:, -1]
+
+        chk, _, _ = _run_seg(4.75, warm_steps)
+        float(chk)
+        seg_rates, seg_its = [], 0
+        wfin = None
+        for rep in range(3):
+            t0 = time.time()
+            chk, its_s, wfin = _run_seg(4.76 + rep * 1e-4, meas_steps)
+            float(chk)
+            seg_rates.append(meas_steps / (time.time() - t0))
+            seg_its = int(its_s)
+        wref = _run_exact_final(4.76 + 2e-4, meas_steps)
+        rel = float(jnp.linalg.norm(wfin - wref)
+                    / jnp.linalg.norm(wref))
+        extra["fom_seg8_timesteps_per_sec"] = round(
+            sorted(seg_rates)[1], 1)
+        extra["fom_seg8_newton_its_per_step"] = round(
+            seg_its / meas_steps, 2)
+        extra["fom_seg8_final_state_rel_err_vs_exact"] = float(
+            f"{rel:.3e}")
+        _stderr(f"bench: seg8 config: "
+                f"{extra['fom_seg8_timesteps_per_sec']} steps/s, "
+                f"{seg_its / meas_steps:.2f} its/step, final-state "
+                f"rel err vs exact chain {rel:.3e}")
+    except Exception as e:  # noqa: BLE001
+        _stderr(f"bench: seg8 config skipped ({type(e).__name__}: "
+                f"{str(e)[:200]})")
+
     # ---------------- measured FOM roofline (VERDICT r2 #8) -------------
     # Time the Newton body's two sub-programs (skewed residual, Pallas
     # wavefront solve) as scanned loops at the same 750^2 shapes, and
