@@ -157,7 +157,8 @@ def inviscid_burgers_implicit2d(grid: Grid2D, w0, dt, num_steps, mu1, mu2,
     jax.jit,
     static_argnames=("dt", "grid", "num_steps", "max_its", "use_pallas",
                      "solve_dtype", "snaps_dtype", "block",
-                     "extrapolate_guess", "seg", "seg_overlap"),
+                     "extrapolate_guess", "seg", "seg_overlap",
+                     "pallas_interpret"),
 )
 def inviscid_burgers_implicit2d_skewed(
         grid: Grid2D, w0, dt, num_steps, mu1, mu2, *,
@@ -165,7 +166,8 @@ def inviscid_burgers_implicit2d_skewed(
         use_pallas: bool | None = None, solve_dtype=None,
         snaps_dtype=None, block: int = 128,
         extrapolate_guess: bool = False, seg: int = 0,
-        seg_overlap: int = 64) -> FOMResult:
+        seg_overlap: int = 64,
+        pallas_interpret: bool = False) -> FOMResult:
     """Fast implicit FOM: the whole integration in skewed coordinates.
 
     The triangular solve consumes the state directly (no per-iteration
@@ -222,15 +224,16 @@ def inviscid_burgers_implicit2d_skewed(
             from finitedifference_tpu.ops.pallas_wavefront import (
                 solve_skewed_pallas_seg,
             )
-            du, dv = solve_skewed_pallas_seg(u, v, ru, rv, dt, grid,
-                                             lay, n_seg=seg,
-                                             overlap=seg_overlap)
+            du, dv = solve_skewed_pallas_seg(
+                u, v, ru, rv, dt, grid, lay, n_seg=seg,
+                overlap=seg_overlap, interpret=pallas_interpret)
         elif use_pallas:
             # the Pallas kernel is f32 by construction (Mosaic has no
             # f64); solve_dtype only selects the precision of the lax
             # fallback path
             du, dv = solve_skewed_pallas(u, v, ru, rv, dt, grid, lay,
-                                         block=block)
+                                         block=block,
+                                         interpret=pallas_interpret)
         else:
             ud = u if solve_dtype is None else u.astype(solve_dtype)
             du, dv = sk.solve_skewed_lax(

@@ -153,6 +153,66 @@ class TestPallasKernel:
                                    rtol=2e-6, atol=1e-6)
 
 
+class TestSegmentedSolve:
+    """Overlapping-segment wavefront chain (r5, VERDICT r4 #5): unit
+    coverage beyond bench.py's final-state guard."""
+
+    def test_pack_unpack_roundtrip(self):
+        from finitedifference_tpu.ops.pallas_wavefront import (
+            pack_segments,
+            unpack_segments,
+        )
+
+        grid = Grid2D(nx=19, ny=11, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(7)
+        s = jnp.asarray(rng.normal(size=(lay.nd_pad, lay.ny_pad)),
+                        jnp.float32)
+        for n_seg, overlap in [(4, 8), (3, 16)]:
+            s2 = pack_segments(s, lay, n_seg, overlap)
+            back = unpack_segments(s2, lay, n_seg, overlap)
+            np.testing.assert_array_equal(np.asarray(back),
+                                          np.asarray(s))
+
+    def test_seg_solve_matches_exact_chain(self):
+        """Truncation ~rho^overlap sits below the f32 kernel roundoff
+        at the default-style overlap; segment 0 is exact."""
+        from finitedifference_tpu.ops.pallas_wavefront import (
+            solve_skewed_pallas_seg,
+        )
+
+        grid = Grid2D(nx=24, ny=16, x_up=100.0, y_up=100.0)
+        lay = sk.make_layout(grid, block=8)
+        rng = np.random.default_rng(8)
+        arrs = [sk.to_skewed(jnp.asarray(
+            1 + rng.uniform(size=(grid.ny, grid.nx)), jnp.float32), lay)
+            for _ in range(4)]
+        want_u, want_v = sk.solve_skewed_lax(*arrs, DT, grid, lay)
+        got_u, got_v = solve_skewed_pallas_seg(
+            *arrs, DT, grid, lay, n_seg=4, overlap=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_u),
+                                   np.asarray(want_u),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_v),
+                                   np.asarray(want_v),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fom_seg_engine_matches_exact_engine(self):
+        """The seg= FOM path (fom.py) reproduces the exact-chain
+        trajectory within the inexact-Newton tolerance it feeds."""
+        grid = Grid2D(nx=16, ny=16, x_up=100.0, y_up=100.0)
+        w0 = jnp.ones(grid.state_dim)
+        exact = inviscid_burgers_implicit2d_skewed(
+            grid, w0, DT, 10, 5.19, 0.026, use_pallas=False)
+        segd = inviscid_burgers_implicit2d_skewed(
+            grid, w0, DT, 10, 5.19, 0.026, use_pallas=True,
+            pallas_interpret=True, seg=4, seg_overlap=16)
+        rel = np.linalg.norm(np.asarray(segd.snaps)
+                             - np.asarray(exact.snaps)) / \
+            np.linalg.norm(np.asarray(exact.snaps))
+        assert rel < 1e-5
+
+
 class TestSkewedEngine:
     def test_matches_standard_engine(self):
         grid = Grid2D(nx=13, ny=9, x_up=100.0, y_up=100.0)
