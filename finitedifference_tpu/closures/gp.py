@@ -281,6 +281,115 @@ class PerModeGPModel(NamedTuple):
     nu: float = 1.5
 
 
+def _svgp_terms(hyp, z, x, y, noise, nu: float):
+    """Shared algebra of the collapsed SVGP bound (Titsias 2009).
+
+    A = L_z^{-1} K_zn / sigma, B = I + A A^T, c = L_B^{-1} A y / sigma.
+    Returns (A, L_z, L_B, c)."""
+    amp = jnp.exp(hyp[0])
+    ls = jnp.exp(hyp[1:])
+    m = z.shape[0]
+    jitter = 1e-10 + 1e-8 * amp
+    kzz = matern32(z, z, ls, amp, nu=nu) \
+        + jitter * jnp.eye(m, dtype=z.dtype)
+    kzn = matern32(z, x, ls, amp, nu=nu)
+    lz = jnp.linalg.cholesky(kzz)
+    sigma = jnp.sqrt(noise)
+    a = jax.scipy.linalg.solve_triangular(lz, kzn, lower=True) / sigma
+    b = jnp.eye(m, dtype=z.dtype) + a @ a.T
+    lb = jnp.linalg.cholesky(b)
+    c = jax.scipy.linalg.solve_triangular(lb, a @ y, lower=True) / sigma
+    return a, lz, lb, c
+
+
+def _collapsed_elbo(hyp, z, x, y, noise, nu: float = 1.5):
+    """Titsias's collapsed variational bound for Gaussian-likelihood
+    sparse GP regression (multi-output, shared kernel):
+
+        L = log N(Y | 0, Q_nn + sigma^2 I)
+            - n_out/(2 sigma^2) tr(K_nn - Q_nn),
+        Q_nn = K_nz K_zz^{-1} K_zn.
+
+    This is the exact optimum over q(u) of the reference's variational
+    ELBO (POD-GP/compute_gp_models_pytorch.py:259-321 trains it
+    stochastically with GPyTorch); for a Gaussian likelihood the
+    optimal variational distribution is closed-form, so the bound
+    collapses to an O(N M^2) expression maximized directly."""
+    amp = jnp.exp(hyp[0])
+    a, _, lb, c = _svgp_terms(hyp, z, x, y, noise, nu)
+    n, n_out = y.shape
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(lb)))
+    quad = jnp.sum(y * y) / noise - jnp.sum(c * c)
+    trace = amp * n - noise * jnp.sum(a * a)
+    return -0.5 * n_out * (n * jnp.log(2.0 * jnp.pi * noise) + logdet) \
+        - 0.5 * quad - 0.5 * n_out * trace / noise
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "nu"))
+def _optimize_svgp(x, y, z0, noise, num_steps: int = 300,
+                   learning_rate: float = 0.05, nu: float = 1.5):
+    """Jointly optimize (log amp, log ARD scales, inducing locations)
+    by Adam on the negative collapsed bound — one jitted scan."""
+    hyp0 = jnp.zeros(1 + x.shape[1], x.dtype)
+    params0 = (hyp0, z0)
+    opt = optax.adam(learning_rate)
+    loss = lambda p: -_collapsed_elbo(p[0], p[1], x, y, noise, nu=nu)
+
+    def step(carry, _):
+        params, state = carry
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        return (optax.apply_updates(params, updates), state), None
+
+    (params, _), _ = jax.lax.scan(step, (params0, opt.init(params0)),
+                                  None, length=num_steps)
+    return params
+
+
+def fit_gp_variational(q_p_train, q_s_train,
+                       scaler: MinMaxScaler | None = None,
+                       noise: float = 1e-6, num_inducing: int = 64,
+                       num_steps: int = 300, nu: float = 1.5,
+                       learning_rate: float = 0.05) -> GPModel:
+    """Sparse variational GP regression (role of the reference's
+    GPyTorch SVGP option, POD-GP/compute_gp_models_pytorch.py:259-321).
+
+    TPU-native reformulation: for the Gaussian likelihood the
+    variational posterior over inducing values is available in closed
+    form, so instead of the reference's minibatched ELBO ascent this
+    maximizes Titsias's collapsed bound — O(N M^2) per step, ARD
+    kernel, inducing locations optimized jointly — in one jitted Adam
+    scan. The fitted predictive mean is k(x, Z) W, exactly the exact-GP
+    mean form, so it returns a plain GPModel (Z as x_train, W as
+    alpha): predict/Jacobian/closure/persistence reuse the exact-GP
+    machinery unchanged, and the online solver cost drops from O(N)
+    to O(M) kernel evaluations per step."""
+    from finitedifference_tpu.closures.common import fit_minmax
+
+    q_p_train = jnp.asarray(q_p_train)
+    y = jnp.asarray(q_s_train)
+    if scaler is None:
+        scaler = fit_minmax(np.asarray(q_p_train))
+    x = scaler.transform(q_p_train)
+    n = x.shape[0]
+    m = min(num_inducing, n)
+    # deterministic spread seed for the inducing set
+    idx = np.random.default_rng(0).permutation(n)[:m]
+    z0 = x[jnp.asarray(np.sort(idx))]
+
+    hyp, z = _optimize_svgp(x, y, z0, noise, num_steps=num_steps,
+                            learning_rate=learning_rate, nu=nu)
+    _, lz, lb, c = _svgp_terms(hyp, z, x, y, noise, nu)
+    # predictive-mean weights: mean(x*) = k(x*, Z) @ W with
+    # W = L_z^{-T} L_B^{-T} c (GPflow SGPR predict algebra)
+    w = jax.scipy.linalg.solve_triangular(
+        lz.T, jax.scipy.linalg.solve_triangular(lb.T, c, lower=False),
+        lower=False)
+    return GPModel(x_train=z, alpha=w, length_scale=jnp.exp(hyp[1:]),
+                   amplitude=jnp.exp(hyp[0]), noise=noise,
+                   scaler=scaler, nu=float(nu))
+
+
 def fit_gp_full_per_mode(q_p_train, q_s_train,
                          scaler: MinMaxScaler | None = None,
                          noise: float = 1e-6, num_steps: int = 150,

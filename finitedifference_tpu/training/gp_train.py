@@ -14,14 +14,15 @@ from finitedifference_tpu.closures.gp import (
     fit_gp,
     fit_gp_full_per_mode,
     fit_gp_per_mode,
+    fit_gp_variational,
 )
 from finitedifference_tpu.training.rbf_train import remove_duplicates
 
 
 def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
              dedup: bool = True, ard: bool = True, nu: float = 1.5,
-             per_mode: str = "none", on_host: bool = True,
-             verbose: bool = False):
+             per_mode: str = "none", num_inducing: int = 64,
+             on_host: bool = True, verbose: bool = False):
     """ard=True (default) learns per-dimension length scales — the
     shipped 250^2 model is ARD, and ARD closed the GP-HPROM from 8.6%
     to 2.4% at (5.19, 0.026) in round 2; isotropic remains reachable
@@ -32,18 +33,27 @@ def train_gp(q_p, q_s, *, noise: float = 1e-8, num_steps: int = 300,
       none   — one shared kernel + (amp, noise) for all outputs;
       scales — shared ARD length scales, per-mode exact (amp, noise)
                in the kernel eigenbasis (returns an ordinary GPModel);
-      full   — fully independent per-mode ARD GPs (PerModeGPModel)."""
+      full   — fully independent per-mode ARD GPs (PerModeGPModel);
+      variational — sparse variational GP with `num_inducing` learned
+               inducing points (the reference's GPyTorch SVGP option,
+               POD-GP/compute_gp_models_pytorch.py:259-321, as the
+               collapsed Titsias bound — see fit_gp_variational)."""
     if on_host:
         from finitedifference_tpu.closures.common import run_on_host_cpu
         return run_on_host_cpu(
             train_gp, q_p, q_s, noise=noise, num_steps=num_steps,
-            dedup=dedup, ard=ard, nu=nu, per_mode=per_mode, on_host=False,
+            dedup=dedup, ard=ard, nu=nu, per_mode=per_mode,
+            num_inducing=num_inducing, on_host=False,
             verbose=verbose)
     q_p = np.asarray(q_p)
     q_s = np.asarray(q_s)
     if dedup:
         q_p, q_s = remove_duplicates(q_p, q_s)
-    if per_mode == "full":
+    if per_mode == "variational":
+        model = fit_gp_variational(q_p, q_s, noise=noise,
+                                   num_inducing=num_inducing,
+                                   num_steps=num_steps, nu=nu)
+    elif per_mode == "full":
         model = fit_gp_full_per_mode(q_p, q_s, noise=noise,
                                      num_steps=num_steps, nu=nu)
     elif per_mode == "scales":

@@ -191,6 +191,80 @@ class TestGP:
         assert e_opt <= e_raw * 1.5  # optimized at least comparable
 
 
+class TestVariationalGP:
+    """Sparse variational GP (Titsias collapsed bound) — the
+    reference's GPyTorch SVGP option
+    (POD-GP/compute_gp_models_pytorch.py:259-321)."""
+
+    def test_dense_inducing_matches_exact_gp(self):
+        """With M=N inducing points the collapsed bound is the exact
+        LML and the predictive mean is the exact GP's."""
+        from finitedifference_tpu.closures.gp import fit_gp_variational
+
+        q_p, q_s = smooth_data(n_train=60)
+        exact = fit_gp(q_p, q_s, num_steps=200, ard=True, noise=1e-6)
+        svgp = fit_gp_variational(q_p, q_s, num_inducing=60,
+                                  num_steps=200, noise=1e-6)
+        for x in q_p[[3, 17, 41]]:
+            a = np.asarray(gp_predict(exact, jnp.asarray(x)))
+            b = np.asarray(gp_predict(svgp, jnp.asarray(x)))
+            np.testing.assert_allclose(b, a, rtol=0.05, atol=5e-3)
+
+    def test_sparse_inducing_generalizes(self):
+        """M << N stays close to the exact fit on held-out points and
+        beats it on online cost (M kernel rows per predict)."""
+        from finitedifference_tpu.closures.gp import fit_gp_variational
+
+        q_all, s_all = smooth_data(n_train=240)
+        q_p, q_s = q_all[:200], s_all[:200]
+        te_p, te_s = q_all[200:], s_all[200:]
+        exact = fit_gp(q_p, q_s, num_steps=200, ard=True, noise=1e-6)
+        svgp = fit_gp_variational(q_p, q_s, num_inducing=40,
+                                  num_steps=300, noise=1e-6)
+        assert svgp.x_train.shape[0] == 40
+
+        def err(model):
+            pred = np.stack(
+                [np.asarray(gp_predict(model, jnp.asarray(x)))
+                 for x in te_p])
+            return np.linalg.norm(pred - te_s) / np.linalg.norm(te_s)
+
+        assert err(svgp) < max(2.0 * err(exact), 0.05)
+
+    def test_closure_and_persistence_reuse_exact_machinery(self,
+                                                          tmp_path):
+        """fit_gp_variational returns a plain GPModel: closure
+        Jacobian parity with jacfwd, save/load roundtrip byte-stable
+        predictions, train_gp per_mode='variational' dispatch."""
+        from finitedifference_tpu.closures.gp import fit_gp_variational
+        from finitedifference_tpu.training.gp_train import (
+            load_gp,
+            save_gp,
+            train_gp,
+        )
+
+        q_p, q_s = smooth_data(n_train=80)
+        svgp = fit_gp_variational(q_p, q_s, num_inducing=24,
+                                  num_steps=100, noise=1e-6)
+        y = jnp.asarray(q_p[7] + 0.03)
+        np.testing.assert_allclose(
+            np.asarray(gp_jacobian(svgp, y)),
+            np.asarray(jax.jacfwd(lambda z: gp_predict(svgp, z))(y)),
+            rtol=1e-8, atol=1e-10)
+
+        path = str(tmp_path / "svgp.npz")
+        save_gp(svgp, path)
+        back = load_gp(path)
+        np.testing.assert_array_equal(
+            np.asarray(gp_predict(back, y)),
+            np.asarray(gp_predict(svgp, y)))
+
+        via_train = train_gp(q_p, q_s, per_mode="variational",
+                             num_inducing=24, num_steps=10,
+                             noise=1e-6, on_host=False)
+        assert via_train.x_train.shape[0] == 24
+
+
 class TestPerModeGP:
     def _hetero_data(self, n_train=80, n_test=30, seed=0):
         """Outputs with magnitudes spanning 5 orders and different
