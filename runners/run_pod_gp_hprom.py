@@ -12,7 +12,7 @@ MODEL_PATH = "pod_gp_model.npz"
 def main(mu1=5.19, mu2=0.026, num_primary=10, num_secondary=140,
          weights_method="nnls", compute_ecsw=False, bc_w=10.0,
          retrain=False, subsample=1, noise=1e-6, num_cells=None,
-         num_steps=None, f32=False, per_mode="none"):
+         num_steps=None, f32=False, per_mode="none", num_inducing=64):
     setup_jax(f32)
     from finitedifference_tpu.closures.gp import gp_closure
     from finitedifference_tpu.training.gp_train import (
@@ -34,7 +34,8 @@ def main(mu1=5.19, mu2=0.026, num_primary=10, num_secondary=140,
         # found that noise level cuts the worst-point HPROM error from
         # 4.51% to 2.69% vs the round-2 1e-8 default (VERDICT r2 #7)
         model = train_gp(q_p[::subsample], q_s[::subsample],
-                         noise=noise, per_mode=per_mode, verbose=True)
+                         noise=noise, per_mode=per_mode,
+                         num_inducing=num_inducing, verbose=True)
         save_gp(model, model_path)
     else:
         model = load_gp(model_path)
@@ -62,14 +63,20 @@ if __name__ == "__main__":
     p.add_argument("--subsample", type=int, default=1)
     p.add_argument("--noise", type=float, default=1e-6)
     p.add_argument("--per-mode", default="none",
-                   choices=["none", "scales", "full"],
+                   choices=["none", "scales", "full", "variational"],
                    help="GP output-mode treatment on --retrain: 'full' = "
                         "one ARD GP per secondary mode (reference "
                         "POD-GP/compute_gp_models.py), 'scales' = shared "
                         "eigenbasis with exact per-mode amp/noise, "
                         "'none' = shared-kernel multi-output (the "
-                        "recorded rom_results_hprom.npz recipe)")
+                        "recorded rom_results_hprom.npz recipe), "
+                        "'variational' = sparse SVGP with learned "
+                        "inducing points (reference "
+                        "compute_gp_models_pytorch.py:259-321)")
+    p.add_argument("--num-inducing", type=int, default=64,
+                   help="inducing-point count for --per-mode "
+                        "variational")
     a = p.parse_args()
     main(a.mu1, a.mu2, a.num_primary, a.num_secondary, a.weights_method,
          a.compute_ecsw, a.bc_w, a.retrain, a.subsample, a.noise,
-         a.num_cells, a.num_steps, a.f32, a.per_mode)
+         a.num_cells, a.num_steps, a.f32, a.per_mode, a.num_inducing)

@@ -78,6 +78,17 @@ class TestRunnerSmoke:
         assert np.isfinite(err) and err < 10.0
         assert os.path.exists("pod_gp_model_12x12.npz")
 
+    def test_pod_gp_hprom_variational(self, runner_cwd):
+        """SVGP closure (reference compute_gp_models_pytorch.py SVGP
+        option) end-to-end through the hyper-reduced runner."""
+        import run_pod_gp_hprom
+
+        _, err = run_pod_gp_hprom.main(
+            4.75, 0.02, num_primary=3, num_secondary=5,
+            compute_ecsw=True, bc_w=5.0, retrain=True,
+            per_mode="variational", num_inducing=16, **SMALL)
+        assert np.isfinite(err) and err < 10.0
+
     def test_closure_weights_multi_trajectory(self, runner_cwd):
         """closure_ecsw_weights accepts a sequence of training points:
         the row budget is split over the trajectories (stride scales
