@@ -38,10 +38,12 @@ p.add_argument("--num-cells", type=int, default=None,
 p.add_argument("--gp-stride", type=int, default=1,
                help="training-pair stride for the GP fit")
 p.add_argument("--gp-per-mode", default="full",
-               choices=["none", "scales", "full"],
+               choices=["none", "scales", "full", "variational"],
                help="GP output-mode treatment (train_gp); the shipped "
                     "250^2 model is the per-mode-full family selected "
-                    "by the round-3 offline sweep (gp_offline_eval.py)")
+                    "by the round-3 offline sweep (gp_offline_eval.py); "
+                    "'variational' = sparse SVGP, reference "
+                    "compute_gp_models_pytorch.py:259-321")
 p.add_argument("--gp-noise", type=float, default=1e-8)
 p.add_argument("--gp-steps", type=int, default=300)
 p.add_argument("--rnm-resume", action="store_true",
@@ -101,8 +103,9 @@ if "rnm" not in args.skip:
 if "gp" not in args.skip:
     from finitedifference_tpu.training.gp_train import save_gp, train_gp
 
-    stem = "pod_gp_model.npz" if args.gp_per_mode == "none" \
-        else "pod_gp_model_per_mode.npz"
+    stem = {"none": "pod_gp_model.npz",
+            "variational": "pod_gp_model_variational.npz"}.get(
+        args.gp_per_mode, "pod_gp_model_per_mode.npz")
     gp_path = res_path(cfg, stem.replace(".npz", f"{sfx}.npz")
                        if sfx else stem)
     if args.retrain or not os.path.exists(gp_path):
