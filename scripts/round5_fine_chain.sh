@@ -26,11 +26,12 @@ stage() {
   return $rc
 }
 
-# optionally wait for an in-flight snapshot generator
-if [ -n "$1" ]; then
-  echo "waiting for pid $1 (gen_snapshots_fine)"
-  while kill -0 "$1" 2>/dev/null; do sleep 15; done
-fi
+# optionally wait for in-flight generator processes (snapshots, an
+# early basis build) so no stage races a duplicate of itself
+for pid in "$@"; do
+  echo "waiting for pid $pid"
+  while kill -0 "$pid" 2>/dev/null; do sleep 15; done
+done
 
 stage 7200 "fine snapshots (TPU; resumes/skips if cached)" \
   python scripts/gen_snapshots_fine.py
